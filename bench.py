@@ -1,0 +1,141 @@
+"""Benchmark: particle-Gibbs sweep throughput on MNIST-class inpainting.
+
+Measures the flagship hot path — one Gibbs sweep = exact forward noising +
+CSMC forward pass with the score UNet (dim=64, the reference's production
+architecture) evaluated batched over N=100 particles, fused
+transition+likelihood kernel, bf16 MXU compute on TPU.
+
+Prints ONE JSON line:
+  {"metric": "particle_steps_per_sec", "value": ..., "unit": "particle*step/s",
+   "vs_baseline": ...}
+
+Baseline: the reference's wall-time envelope implies ~8 s per Gibbs sweep at
+N=100 particles, K=1000 steps on an A100-class GPU (BASELINE.md: 22 h Slurm
+limit / (100 y0s x 100 sweeps)) => 100 * 1000 / 8 = 12,500 particle*steps/s.
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE_PARTICLE_STEPS_PER_SEC = 12_500.0
+
+
+def build_sweep(nparticles: int, nsteps: int, dim: int, image_shape, compute_dtype):
+    """Build a jitted Gibbs sweep closure on synthetic MNIST-like data."""
+    from fbs_tpu.data import ImageRestore
+    from fbs_tpu.nn import UNet, make_st_nn
+    from fbs_tpu.samplers import gibbs_kernel, make_separable_kernels
+    from fbs_tpu.sdes import StationaryLinLinearSDE, make_linear_sde
+
+    key = jax.random.PRNGKey(666)
+    h, w, c = image_shape
+
+    xs = jax.random.uniform(key, (16, h, w, c))
+    dataset = ImageRestore.from_array(xs, task="inpaint-15")
+    test_img, y0, mask = dataset.sampler(jax.random.PRNGKey(1))
+
+    T = 2.0
+    ts = jnp.linspace(0.0, T, nsteps + 1)
+    dt = T / nsteps
+    sde = StationaryLinLinearSDE(beta_min=0.02, beta_max=5.0, t0=0.0, T=T)
+    _, _, simulate_cond_forward = make_linear_sde(sde)
+
+    # In the ImageRestore representation the joint (x, y) state IS the full
+    # image (x = unobserved pixels, y = observed pixels), so the score net
+    # sees c channels (reference experiments/imgs/inpainting.py:102-115).
+    unet = UNet(dt=T / 200, dim=dim, dim_mults=(1, 2, 4), compute_dtype=compute_dtype)
+    param, _, nn_score = make_st_nn(key, unet, (h, w, c), batch_size=2)
+
+    def reverse_drift_joint(imgs, t):
+        # imgs: (n, h, w, c) re-assembled joint state; score net in bf16.
+        return (-sde.drift(imgs, T - t)
+                + sde.dispersion(T - t) ** 2 * nn_score(imgs, T - t, param))
+
+    def concat_batched(us, v):
+        vs = jnp.broadcast_to(v, (us.shape[0], *v.shape))
+        return dataset.concat(us, vs, mask)
+
+    def unpack_batched(joint):
+        return dataset.unpack(joint, mask)
+
+    def reverse_dispersion(t):
+        return sde.dispersion(T - t)
+
+    (transition_sampler, transition_logpdf,
+     likelihood_logpdf, fused_kernel) = make_separable_kernels(
+        reverse_drift_joint, reverse_dispersion, concat_batched, unpack_batched, dt)
+
+    def fwd_sampler(key_, x0_, y0_):
+        joint0 = dataset.concat(x0_, y0_, mask)
+        return simulate_cond_forward(key_, joint0, ts)
+
+    def unpack_path(path_xy):
+        return dataset.unpack(path_xy, mask)
+
+    @jax.jit
+    def sweep(key_, x0, us_star, bs_star):
+        return gibbs_kernel(key_, x0, y0, us_star, bs_star,
+                            ts, fwd_sampler, sde, unpack_path, nparticles,
+                            transition_sampler, transition_logpdf, likelihood_logpdf,
+                            marg_y=False, explicit_backward=True, explicit_final=False,
+                            fused_kernel=fused_kernel)
+
+    x0 = jnp.zeros((*dataset.unobs_shape,))
+    us_star = jnp.zeros((nsteps + 1, *dataset.unobs_shape))
+    bs_star = jnp.zeros((nsteps + 1,), dtype=int)
+    return sweep, (x0, us_star, bs_star)
+
+
+def main():
+    platform = jax.devices()[0].platform
+    on_tpu = platform == "tpu"
+
+    if on_tpu:
+        from fbs_tpu.nn import default_compute_dtype
+        compute_dtype = default_compute_dtype()
+        nparticles, nsteps, dim = 100, 200, 64
+        image_shape = (28, 28, 1)
+    else:
+        compute_dtype = jnp.float32
+        nparticles, nsteps, dim = 8, 8, 8
+        image_shape = (16, 16, 1)
+
+    sweep, (x0, us_star, bs_star) = build_sweep(nparticles, nsteps, dim,
+                                                image_shape, compute_dtype)
+
+    key = jax.random.PRNGKey(0)
+    # Warmup / compile.
+    x0_, us_, bs_, _ = sweep(key, x0, us_star, bs_star)
+    jax.block_until_ready(x0_)
+
+    nreps = 3 if on_tpu else 1
+    t0 = time.perf_counter()
+    for i in range(nreps):
+        key, sub = jax.random.split(key)
+        x0_, us_, bs_, _ = sweep(sub, x0_, us_, bs_)
+    jax.block_until_ready(x0_)
+    elapsed = (time.perf_counter() - t0) / nreps
+
+    particle_steps_per_sec = nparticles * nsteps / elapsed
+    vs_baseline = particle_steps_per_sec / REFERENCE_PARTICLE_STEPS_PER_SEC
+
+    print(json.dumps({
+        "metric": "particle_steps_per_sec",
+        "value": round(particle_steps_per_sec, 1),
+        "unit": "particle*step/s",
+        "vs_baseline": round(vs_baseline, 3),
+        "detail": {
+            "platform": platform,
+            "nparticles": nparticles,
+            "nsteps": nsteps,
+            "unet_dim": dim,
+            "sec_per_sweep": round(elapsed, 4),
+            "sec_per_equivalent_K1000_sweep": round(elapsed * 1000 / nsteps, 3),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

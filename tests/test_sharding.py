@@ -1,0 +1,104 @@
+"""Multi-device (8 virtual CPU devices) sharding tests — checks the samplers
+compile and run with a sharded particle axis and produce correct statistics.
+"""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy.testing as npt
+
+
+from fbs_tpu.parallel import make_mesh, particle_sharding, shard_particle_closures, data_parallel_loss
+from fbs_tpu.samplers import bootstrap_filter, stratified
+from fbs_tpu.sdes import StationaryConstLinearSDE, make_linear_sde_law_loss
+
+
+def test_mesh_construction():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    mesh2 = make_mesh((2, 4), ("c", "p"))
+    assert mesh2.shape == {"c": 2, "p": 4}
+
+
+def test_sharded_bootstrap_filter_matches_statistics():
+    """Filter with particle axis sharded over 8 devices tracks a Kalman
+    filter (small LGSSM); also checks it compiles with sharded inputs."""
+    mesh = make_mesh(axis_names=("p",))
+    F, trans_var = 0.5, 0.3
+    meas_var = 0.5
+    nsteps = 15
+    ts = jnp.linspace(0, 1, nsteps + 1)
+
+    key = jax.random.PRNGKey(0)
+    # Simulate data.
+    def sim(carry, k):
+        x = carry
+        kq, kr = jax.random.split(k)
+        x = F * x + jnp.sqrt(trans_var) * jax.random.normal(kq)
+        y = x + jnp.sqrt(meas_var) * jax.random.normal(kr)
+        return x, y
+    _, ys = jax.lax.scan(sim, 0.1, jax.random.split(key, nsteps))
+    ys = jnp.concatenate([jnp.array([0.0]), ys])
+
+    # Kalman reference.
+    def kf(carry, y):
+        mf, vf = carry
+        mp, vp = F * mf, F * vf * F + trans_var
+        s = vp + meas_var
+        gain = vp / s
+        mf = mp + gain * (y - mp)
+        vf = vp - gain * vp
+        return (mf, vf), (mf, vf)
+    (_, _), (mfs, vfs) = jax.lax.scan(kf, (0.0, 1.0), ys[1:])
+
+    def transition_sampler(x, y_prev, t, key_):
+        return F * x + jnp.sqrt(trans_var) * jax.random.normal(key_, x.shape)
+
+    def likelihood_logpdf(y, x_prev, y_prev, t):
+        # Measurement of the *propagated* particle mean (bootstrap layout).
+        mean = F * x_prev
+        return jax.scipy.stats.norm.logpdf(y, mean, jnp.sqrt(F * F * trans_var + meas_var))
+
+    def init_sampler(key_, y, n):
+        return jax.random.normal(key_, (n,))
+
+    wrapped_trans, _, wrapped_lik = shard_particle_closures(
+        mesh, transition_sampler, None, likelihood_logpdf)
+
+    nparticles = 4096
+
+    @jax.jit
+    def run(key_):
+        return bootstrap_filter(wrapped_trans, wrapped_lik, ys, ts, init_sampler,
+                                key_, nparticles, stratified, log=True, return_last=False)
+
+    with mesh:
+        pf_samples, nell = run(jax.random.PRNGKey(42))
+    # Compare late-time filtering moments (bootstrap weights use the previous
+    # particles, so compare against the one-step-lagged KF predictive-updated
+    # moments loosely).
+    npt.assert_allclose(jnp.mean(pf_samples[-1]), mfs[-2] * F, atol=0.3)
+    assert jnp.isfinite(nell)
+
+
+def test_data_parallel_loss_grads_match_single_device():
+    """DP-sharded DSM loss == unsharded loss (same values, same grads)."""
+    mesh = make_mesh(axis_names=("d",))
+    sde = StationaryConstLinearSDE(a=-0.5, b=1.0)
+
+    def nn_fn(x, t, param):
+        return -x * param  # toy linear score
+
+    loss_fn = make_linear_sde_law_loss(sde, nn_fn, t0=0.0, T=1.0, nsteps=8,
+                                       random_times=False, loss_type="score")
+    dp_loss = data_parallel_loss(mesh, loss_fn)
+
+    key = jax.random.PRNGKey(1)
+    x0s = jax.random.normal(key, (16, 4))
+    param = jnp.asarray(0.8)
+
+    with mesh:
+        val_dp, grad_dp = jax.jit(jax.value_and_grad(dp_loss))(param, key, x0s)
+    val, grad = jax.value_and_grad(loss_fn)(param, key, x0s)
+    npt.assert_allclose(val_dp, val, rtol=1e-10)
+    npt.assert_allclose(grad_dp, grad, rtol=1e-10)
