@@ -1,0 +1,64 @@
+r"""MCMC mixing diagnostics: autocorrelation vs lag for the toy chains.
+
+TPU-native counterpart of reference
+``experiments/tabulators/plot_autocorrs_toy.py``, using the FFT-based
+autocorrelation in ``fbs_tpu.metrics`` (max over dims, mean over MC reps).
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
+
+import jax.numpy as jnp
+import numpy as np
+
+from fbs_tpu.metrics import autocorr, ess
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--sde", type=str, default="const")
+    parser.add_argument("--max_lag", type=int, default=100)
+    parser.add_argument("--max_mcs", type=int, default=100)
+    parser.add_argument("--methods", type=str, nargs="+",
+                        default=["gibbs-eb-const-10", "gibbs-eb-const-100",
+                                 "pmcmc-0.005-const-10", "pmcmc-0.005-const-100"])
+    parser.add_argument("--plot", action="store_true", default=False)
+    args = parser.parse_args()
+
+    curves = {}
+    for method in args.methods:
+        acs, esss = [], []
+        for mc_id in range(args.max_mcs):
+            path = f"./toy/results/{method}-{mc_id}.npz"
+            if not os.path.exists(path):
+                continue
+            samples = np.load(path)["samples"]
+            if samples.ndim == 3:
+                samples = samples[0]  # first chain
+            acs.append(np.asarray(autocorr(jnp.asarray(samples), max_lag=args.max_lag)))
+            esss.append(float(ess(jnp.asarray(samples))))
+        if not acs:
+            print(f"{method}: no results")
+            continue
+        curves[method] = np.mean(np.stack(acs), axis=0)
+        print(f"{method} | mean ESS {np.mean(esss):.1f} | "
+              f"autocorr@1 {curves[method][0]:.3f} | autocorr@10 {curves[method][9]:.3f}")
+
+    if args.plot and curves:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        for method, curve in curves.items():
+            plt.plot(np.arange(1, args.max_lag + 1), curve, label=method)
+        plt.xlabel("lag")
+        plt.ylabel("max-dim autocorrelation")
+        plt.legend()
+        os.makedirs("./toy/figs", exist_ok=True)
+        plt.savefig("./toy/figs/autocorrs.png", dpi=150)
+
+
+if __name__ == "__main__":
+    main()

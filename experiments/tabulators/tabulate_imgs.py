@@ -1,0 +1,96 @@
+r"""PSNR/SSIM/LPIPS statistics for the image restoration experiments
+(paper Tables 2-3).
+
+TPU-native counterpart of reference ``experiments/tabulators/tabulate_imgs.py``,
+with PSNR/SSIM computed by the native JAX implementations in
+``fbs_tpu.metrics`` (batched on device) instead of per-image scikit-image
+calls.  LPIPS (AlexNet) is optional: it needs the torch ``lpips`` package and
+pretrained weights; absent those it is skipped with a note.
+"""
+import argparse
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fbs_tpu.metrics import psnr, ssim
+
+
+def _try_lpips():
+    try:
+        import lpips  # noqa: F401
+        import torch
+
+        net = lpips.LPIPS(net="alex")
+
+        def compute(ref, img):
+            def to_t(x):
+                x = np.moveaxis(np.asarray(x, np.float32), -1, 0) * 2 - 1
+                if x.shape[0] == 1:
+                    x = np.repeat(x, 3, axis=0)
+                return torch.tensor(x[None])
+
+            with torch.no_grad():
+                return float(net(to_t(ref), to_t(img)))
+
+        return compute
+    except Exception:
+        return None
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--task", type=str, default="inpainting",
+                        help="inpainting or supr")
+    parser.add_argument("--dataset", type=str, default="mnist")
+    parser.add_argument("--size", type=int, default=15, help="rect size or SR rate")
+    parser.add_argument("--sde", type=str, default="lin")
+    parser.add_argument("--nparticles", type=int, default=100)
+    parser.add_argument("--method", type=str, default="gibbs-eb")
+    parser.add_argument("--ny0s", type=int, default=100)
+    args = parser.parse_args()
+
+    lpips_fn = _try_lpips()
+    psnr_j = jax.jit(jax.vmap(psnr, in_axes=[None, 0]))
+    ssim_j = jax.jit(jax.vmap(ssim, in_axes=[None, 0]))
+
+    psnrs, ssims, lpipss = [], [], []
+    base = f"./imgs/results_{args.task}"
+    for k in range(args.ny0s):
+        head = f"{base}/{args.dataset}-{args.size}-{args.sde}-{args.nparticles}-{k}"
+        truth_file = head + "-true.npz"
+        sample_file = head + f"-{args.method}.npy"
+        if not (os.path.exists(sample_file)):
+            continue
+        true_img = np.load(truth_file)["test_img"] if os.path.exists(truth_file) else None
+        samples = np.load(sample_file)
+        if true_img is None:
+            continue
+        psnrs.append(np.asarray(psnr_j(jnp.asarray(true_img), jnp.asarray(samples))))
+        ssims.append(np.asarray(ssim_j(jnp.asarray(true_img), jnp.asarray(samples))))
+        if lpips_fn is not None:
+            lpipss.extend(lpips_fn(true_img, s) for s in samples)
+
+    if not psnrs:
+        print("No results found.")
+        return
+    psnrs = np.concatenate(psnrs)
+    ssims = np.concatenate(ssims)
+    msg = (f"{args.dataset} {args.task}-{args.size} {args.method} | "
+           f"PSNR {psnrs.mean():.3f} +- {psnrs.std():.3f} | "
+           f"SSIM {ssims.mean():.4f} +- {ssims.std():.4f}")
+    if lpipss:
+        lp = np.asarray(lpipss)
+        msg += f" | LPIPS {lp.mean():.4f} +- {lp.std():.4f}"
+    else:
+        msg += " | LPIPS skipped (lpips/torch weights unavailable)"
+    print(msg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,83 @@
+r"""Error statistics for the toy GP experiments (paper Table 1).
+
+TPU-native counterpart of reference ``experiments/tabulators/tabulate_toy.py``:
+KL, Bures-Wasserstein, absolute mean/variance errors, |skew| and |kurtosis|
+against the closed-form GP posterior, averaged over MC repetitions.
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.stats
+from functools import partial
+
+from fbs_tpu.math import kl, bures_dist
+
+
+def tabulate(method: str, max_mcs: int, results_dir: str = "./toy/results"):
+    errs = {k: np.zeros((max_mcs,)) for k in
+            ("m", "var", "kl", "bures", "skew", "kurt")}
+
+    for mc_id in range(max_mcs):
+        results = np.load(os.path.join(results_dir, f"{method}-{mc_id}.npz"))
+        samples, gp_mean, gp_cov = (results["samples"], results["gp_mean"],
+                                    results["gp_cov"])
+
+        if samples.ndim == 3:  # chains axis first (gibbs/pmcmc)
+            approx_means = jax.vmap(partial(jnp.mean, axis=0))(samples)
+            approx_covs = jax.vmap(partial(jnp.cov, rowvar=False))(samples)
+            errs["m"][mc_id] = np.mean(jnp.abs(approx_means - gp_mean[None, :]))
+            errs["var"][mc_id] = np.mean(jnp.abs(
+                jnp.diagonal(approx_covs - gp_cov[None], axis1=1, axis2=2)))
+            errs["kl"][mc_id] = np.mean(jax.vmap(kl, in_axes=[None, None, 0, 0])(
+                gp_mean, gp_cov, approx_means, approx_covs))
+            errs["bures"][mc_id] = np.mean(jax.vmap(bures_dist, in_axes=[None, None, 0, 0])(
+                gp_mean, gp_cov, approx_means, approx_covs))
+            errs["skew"][mc_id] = np.mean(np.abs(scipy.stats.skew(samples, axis=1)))
+            errs["kurt"][mc_id] = np.mean(np.abs(scipy.stats.kurtosis(samples, axis=1)))
+        else:
+            approx_mean = np.mean(samples, axis=0)
+            approx_cov = np.cov(samples, rowvar=False)
+            errs["m"][mc_id] = np.mean(np.abs(approx_mean - gp_mean))
+            errs["var"][mc_id] = np.mean(np.abs(np.diag(approx_cov) - np.diag(gp_cov)))
+            errs["kl"][mc_id] = float(kl(gp_mean, gp_cov, approx_mean, approx_cov))
+            errs["bures"][mc_id] = float(bures_dist(gp_mean, gp_cov, approx_mean, approx_cov))
+            errs["skew"][mc_id] = np.mean(np.abs(scipy.stats.skew(samples, axis=0)))
+            errs["kurt"][mc_id] = np.mean(np.abs(scipy.stats.kurtosis(samples, axis=0)))
+
+    print(f"Method {method} | "
+          f"KL | {errs['kl'].mean():.4f} {errs['kl'].std():.4f} | "
+          f"Bures | {errs['bures'].mean():.4f} {errs['bures'].std():.4f} | "
+          f"Mean {errs['m'].mean():.4f} {errs['m'].std():.4f} | "
+          f"Var {errs['var'].mean():.4f} {errs['var'].std():.4f} | "
+          f"Skew {errs['skew'].mean():.4f} | Kurt {errs['kurt'].mean():.4f}")
+    return errs
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--sde", type=str, default="const")
+    parser.add_argument("--nparticles", type=int, default=100)
+    parser.add_argument("--max_mcs", type=int, default=100)
+    args = parser.parse_args()
+
+    methods = [f"filter-{args.sde}-{args.nparticles}",
+               f"gibbs-eb-{args.sde}-{args.nparticles}",
+               f"pmcmc-0.005-{args.sde}-{args.nparticles}",
+               f"pmcmc-0.001-{args.sde}-{args.nparticles}",
+               f"twisted-{args.sde}-{args.nparticles}",
+               f"csgm-{args.sde}"]
+    for method in methods:
+        try:
+            tabulate(method, args.max_mcs)
+        except FileNotFoundError as e:
+            print(f"Method {method} | missing results ({e})")
+
+
+if __name__ == "__main__":
+    main()

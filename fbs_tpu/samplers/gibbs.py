@@ -130,10 +130,10 @@ def gibbs_kernel(key: JKey, x0: JArray, y0: JArray, us_star: JArray, bs_star: JA
         def init_likelihood_logpdf(v0, u0s, v1, **kw):
             return likelihood_logpdf(v0, u0s, v1, ts[0], **kw)
     else:
-        def init_sampler(*_):
+        def init_sampler(*_, **__):
             return us[0] * jnp.ones((nparticles, *us.shape[1:]))
 
-        def init_likelihood_logpdf(*_):
+        def init_likelihood_logpdf(*_, **__):
             return -math.log(nparticles) * jnp.ones(nparticles)
 
     if explicit_backward:
