@@ -42,7 +42,12 @@ class Crescent(Dataset):
 
     def log_prior_pdf(self, phi):
         if self.cov_is_diag:
-            return jnp.sum(jax.scipy.stats.norm.logpdf(phi, self.m, jnp.diag(self.cov)))
+            # Note: scale is the std = sqrt of the covariance diagonal (the
+            # reference passes the variance as the scale at
+            # ``fbs/data/bayesian.py:39`` — a bug its loose Langevin test
+            # does not catch; fixed here and pinned by an autodiff oracle).
+            return jnp.sum(jax.scipy.stats.norm.logpdf(phi, self.m,
+                                                       jnp.sqrt(jnp.diag(self.cov))))
         return jax.scipy.stats.multivariate_normal.logpdf(phi, self.m, self.cov)
 
     def log_cond_pdf_likelihood(self, y, phi):
