@@ -229,6 +229,43 @@ class RestorationSampler:
             resampling=stratified, nparticles=self.nparticles, delta=delta))
         return fn(key, uT, log_ell, ys, y0, mask_=mask)
 
+    def make_gibbs_chains(self, y0: JArray, mask, nchains: int,
+                          explicit_backward: bool = True,
+                          explicit_final: bool = False,
+                          marg_y: bool = False):
+        """Vmapped multi-chain Gibbs: returns jitted
+        ``step(keys, (x0s, us_stars, bs_stars)) -> (state, (x0s, accs))``.
+
+        With a mesh over a ``c`` axis the chain dimension shards across
+        chips; with the ``p``-axis samplers each chain's particle batch
+        shards instead.  The reference only vmaps chains on one device for
+        the toy experiments (``experiments/toy/gp_gibbs.py:172-173``) —
+        image chains there run strictly sequentially.
+        """
+        kernel = partial(_gibbs_kernel, ts=self.ts, fwd_sampler=self.fwd_sampler,
+                         sde=self.sde, unpack=self.unpack, nparticles=self.nparticles,
+                         transition_sampler=self.transition_sampler,
+                         transition_logpdf=self.transition_logpdf,
+                         likelihood_logpdf=self.likelihood_logpdf,
+                         marg_y=marg_y, explicit_backward=explicit_backward,
+                         explicit_final=explicit_final,
+                         fused_kernel=self.fused_kernel)
+
+        def one_step(key_, x0, us_star, bs_star):
+            x0, us_star, bs_star, acc = kernel(key_, x0, y0, us_star, bs_star,
+                                               mask_=mask)
+            return x0, us_star, bs_star, acc
+
+        vstep = jax.vmap(one_step)
+
+        @jax.jit
+        def step(keys, state):
+            x0s, us_stars, bs_stars = state
+            x0s, us_stars, bs_stars, accs = vstep(keys, x0s, us_stars, bs_stars)
+            return (x0s, us_stars, bs_stars), (x0s, accs)
+
+        return step
+
     # ---- baselines ------------------------------------------------------
 
     def twisted_sample(self, key: JKey, y0: JArray, mask):
