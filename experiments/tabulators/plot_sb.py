@@ -1,0 +1,41 @@
+r"""Gaussian-SB ablation summary (reference ``experiments/tabulators/plot_sb.py``):
+posterior-moment errors of the SB Gibbs/filter samplers vs particle count."""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
+
+import numpy as np
+
+from fbs_tpu.math import bures_dist, kl
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--nparticles", type=int, nargs="+", default=[4, 8, 16, 32, 64])
+    parser.add_argument("--max_mcs", type=int, default=100)
+    parser.add_argument("--method", type=str, default="gibbs-eb")
+    args = parser.parse_args()
+
+    for np_ in args.nparticles:
+        kls, bures = [], []
+        for mc_id in range(args.max_mcs):
+            path = f"./sb/results/{args.method}-{np_}-{mc_id}.npz"
+            if not os.path.exists(path):
+                continue
+            r = np.load(path)
+            samples, gp_mean, gp_cov = r["samples"], r["gp_mean"], r["gp_cov"]
+            m, c = samples.mean(axis=0), np.cov(samples, rowvar=False)
+            kls.append(float(kl(gp_mean, gp_cov, m, c)))
+            bures.append(float(bures_dist(gp_mean, gp_cov, m, c)))
+        if kls:
+            print(f"N={np_}: KL {np.mean(kls):.4f} +- {np.std(kls):.4f} | "
+                  f"Bures {np.mean(bures):.4f} +- {np.std(bures):.4f} "
+                  f"({len(kls)} reps)")
+        else:
+            print(f"N={np_}: no results")
+
+
+if __name__ == "__main__":
+    main()

@@ -9,3 +9,10 @@ score-network sampler kernels.
 """
 
 __version__ = "0.1.0"
+
+from fbs_tpu import math  # noqa: E402
+from fbs_tpu import sdes  # noqa: E402
+from fbs_tpu import samplers  # noqa: E402
+from fbs_tpu import dsb  # noqa: E402
+from fbs_tpu import metrics  # noqa: E402
+from fbs_tpu import profiling  # noqa: E402

@@ -10,7 +10,8 @@ import flax.linen as nn
 
 from fbs_tpu.nn.base import sinusoidal_embedding, make_st_nn
 
-__all__ = ["CrescentMLP", "GMSBMLP", "STMLP", "make_simple_st_nn"]
+__all__ = ["CrescentMLP", "GMSBMLP", "STMLP", "MNISTAutoEncoder",
+           "MNISTConvNet", "make_simple_st_nn"]
 
 _init = nn.initializers.xavier_normal()
 
@@ -82,6 +83,69 @@ class STMLP(nn.Module):
         z = nn.relu(nn.Dense(8, kernel_init=_init)(z))
         z = nn.Dense(d, kernel_init=_init)(z)
         return jnp.squeeze(z)
+
+
+class MNISTAutoEncoder(nn.Module):
+    """Dense autoencoder-style score net for flattened MNIST (reference
+    ``models.py:117-141``, 'preliminary experiments only')."""
+    out_dim: int = 784 * 2
+
+    @nn.compact
+    def __call__(self, xy, t):
+        xy = nn.relu(nn.Dense(128, kernel_init=_init)(xy))
+        xy = nn.Dense(32, kernel_init=_init)(xy)
+
+        t = sinusoidal_embedding(t, out_dim=128)
+        t = nn.relu(nn.Dense(64, kernel_init=_init)(t))
+        t = nn.Dense(32, kernel_init=_init)(t)
+
+        z = jnp.concatenate([xy, jnp.broadcast_to(t, (*xy.shape[:-1], 32))], axis=-1)
+        z = nn.relu(nn.Dense(128, kernel_init=_init)(z))
+        z = nn.relu(nn.Dense(256, kernel_init=_init)(z))
+        z = nn.Dense(self.out_dim, kernel_init=_init)(z)
+        return jnp.squeeze(z)
+
+
+class MNISTConvNet(nn.Module):
+    """Small conv encoder/decoder with time FiLM and pixel-shuffle upsampling
+    (reference ``models.py:144-214`` MNISTResConv, 'preliminary only')."""
+    dt: float
+    image_size: int = 28
+
+    @nn.compact
+    def __call__(self, x, t):
+        from fbs_tpu.nn.unet import PixelShuffle
+
+        s = self.image_size
+        batched = x.ndim > 1 and x.shape[0] != s * s
+        B = x.shape[0] if batched else 1
+        x = x.reshape(B, s, s, 1)
+
+        h = nn.silu(nn.GroupNorm(num_groups=8)(nn.Conv(32, (3, 3))(x)))
+        skip1 = h
+        h = nn.Conv(32, (3, 3), strides=(2, 2))(h)
+        h = nn.silu(nn.GroupNorm(num_groups=8)(nn.Conv(64, (3, 3))(h)))
+        skip2 = h
+        h = nn.Conv(64, (3, 3), strides=(2, 2))(h)
+
+        temb = sinusoidal_embedding(t / self.dt, out_dim=32)
+        temb = nn.gelu(nn.Dense(64, kernel_init=_init)(temb))
+        temb = nn.Dense(128, kernel_init=_init)(temb).reshape(1, 1, 1, -1)
+        scale, shift = temb[..., :64], temb[..., 64:]
+        h = h * scale + shift
+
+        h = nn.Conv(64 * 4, (3, 3))(h)
+        h = PixelShuffle(scale=2)(h)
+        h = nn.silu(nn.GroupNorm(num_groups=8)(nn.Conv(64, (3, 3))(h)))
+        h = h + skip2
+        h = nn.Conv(32 * 4, (3, 3))(h)
+        h = PixelShuffle(scale=2)(h)
+        h = nn.silu(nn.GroupNorm(num_groups=8)(nn.Conv(32, (3, 3))(h)))
+        h = h + skip1
+        h = nn.Conv(1, (3, 3))(h)
+
+        h = h.reshape(B, -1)
+        return h if batched else jnp.squeeze(h)
 
 
 def make_simple_st_nn(key, dim_in: Sequence[int], batch_size: int,
