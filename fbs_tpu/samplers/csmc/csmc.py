@@ -48,6 +48,7 @@ def csmc_kernel(key: JKey,
                 nsamples: int,
                 backward: bool = False,
                 fused_kernel: Optional[Callable] = None,
+                history_dtype=None,
                 **kwargs) -> Tuple[JArray, JArray]:
     r"""One cSMC sweep updating the reference trajectory ``us_star`` with
     ancestor indices ``bs_star`` (reference ``csmc.py:14-77``).
@@ -66,6 +67,7 @@ def csmc_kernel(key: JKey,
                                    transition_sampler, measurement_cond_logpdf,
                                    cond_resampling, nsamples,
                                    fused_kernel=fused_kernel,
+                                   history_dtype=history_dtype,
                                    **kwargs)
     if backward:
         us_star, bs_star = backward_sampling_pass(key_bwd, transition_logpdf, vs, ts, uss, log_ws,
@@ -76,8 +78,13 @@ def csmc_kernel(key: JKey,
 
 
 def _make_scan_body(transition_sampler, likelihood_logpdf, cond_resampling,
-                    fused_kernel, kwargs):
-    """Shared step body for the two forward-pass variants."""
+                    fused_kernel, kwargs, history_dtype=None):
+    """Shared step body for the two forward-pass variants.
+
+    ``history_dtype`` (e.g. ``jnp.bfloat16``) downcasts only the *stored*
+    particle history; the carried working state stays full precision.  Halves
+    the dominant (K, N, du) memory term of the full-history pass.
+    """
 
     def scan_body(carry, inp):
         log_ws, us_prev = carry
@@ -96,7 +103,8 @@ def _make_scan_body(transition_sampler, likelihood_logpdf, cond_resampling,
         us = us.at[b_star].set(u_star)
         log_ws = normalise(log_ws, log_space=True)
 
-        return (log_ws, us), (log_ws, A, us)
+        us_hist = us if history_dtype is None else us.astype(history_dtype)
+        return (log_ws, us), (log_ws, A, us_hist)
 
     return scan_body
 
@@ -122,15 +130,19 @@ def forward_pass(key: JKey,
                  cond_resampling: Callable,
                  nsamples: int,
                  fused_kernel: Optional[Callable] = None,
+                 history_dtype=None,
                  **kwargs) -> Tuple[JArray, JArray, JArray]:
     r"""Forward pass storing the full history (reference ``csmc.py:80-164``).
 
     Returns ``(As, log_wss, uss)`` of shapes
-    ``(K, n+1), (K+1, n+1), (K+1, n+1, du)``.
+    ``(K, n+1), (K+1, n+1), (K+1, n+1, du)``.  Pass
+    ``history_dtype=jnp.bfloat16`` to halve the particle-history memory (the
+    working state and weights stay full precision; backward passes upcast).
     """
     nsteps = us_star.shape[0] - 1
     scan_body = _make_scan_body(transition_sampler, likelihood_logpdf,
-                                cond_resampling, fused_kernel, kwargs)
+                                cond_resampling, fused_kernel, kwargs,
+                                history_dtype=history_dtype)
     key_scan, us0, log_ws0 = _forward_init(key, us_star, bs_star, vs,
                                            init_sampler, init_likelihood_logpdf,
                                            nsamples, kwargs)
@@ -140,7 +152,8 @@ def forward_pass(key: JKey,
     _, (log_wss, As, uss) = jax.lax.scan(scan_body, (log_ws0, us0), inputs)
 
     log_wss = jnp.concatenate([log_ws0[jnp.newaxis], log_wss], axis=0)
-    uss = jnp.concatenate([us0[jnp.newaxis], uss], axis=0)
+    us0_hist = us0 if history_dtype is None else us0.astype(history_dtype)
+    uss = jnp.concatenate([us0_hist[jnp.newaxis], uss], axis=0)
 
     return As, log_wss, uss
 
@@ -194,10 +207,11 @@ def backward_sampling_pass(key: JKey, transition_logpdf: Callable,
 
     W_T = normalise(log_ws[-1])
     B_T = barker_move(keys[-1], W_T)
-    x_T = uss[-1, B_T]
+    x_T = uss[-1, B_T].astype(log_ws.dtype)  # upcast bf16 history if used
 
     def body(x_t, inp):
         op_key, xs_t_m_1, log_w_t_m_1, v_t_m_1, t_m_1 = inp
+        xs_t_m_1 = xs_t_m_1.astype(x_t.dtype)  # upcast bf16 history if used
         Gamma_log_w = transition_logpdf(x_t, xs_t_m_1, v_t_m_1, t_m_1, *args, **kwargs)
         Gamma_log_w -= jnp.max(Gamma_log_w)
         w = normalise(Gamma_log_w + log_w_t_m_1)
@@ -218,12 +232,12 @@ def backward_scanning_pass(key: JKey, As: JArray, xss: JArray,
     """Ancestor-tracing backward pass: follow the stored genealogy, no density
     evaluations (reference ``csmc.py:230-270``)."""
     B_T = barker_move(key, normalise(log_w_T))
-    x_T = xss[-1, B_T]
+    x_T = xss[-1, B_T].astype(log_w_T.dtype)  # upcast bf16 history if used
 
     def body(B_t, inp):
         xs_t_m_1, A_t = inp
         B_t_m_1 = A_t[B_t]
-        x_t_m_1 = xs_t_m_1[B_t_m_1]
+        x_t_m_1 = xs_t_m_1[B_t_m_1].astype(log_w_T.dtype)
         return B_t_m_1, (x_t_m_1, B_t_m_1)
 
     _, (xs, Bs) = jax.lax.scan(body, B_T, (xss[-2::-1], As[::-1]))
