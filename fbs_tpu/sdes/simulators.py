@@ -56,19 +56,30 @@ def euler_maruyama(key: JKey, x0: JArray, ts: JArray,
     fine_ts, fine_ddts = _fine_grid(ts, m)
     rnds = jax.random.normal(key, (nsteps * m, *x0.shape))
 
-    def scan_body(x, elem):
-        t, ddt, rnd = elem
-        x = x + drift(x, t) * ddt + dispersion(t) * jnp.sqrt(ddt) * rnd
-        return x, x
+    def substep(x, t, ddt, rnd):
+        return x + drift(x, t) * ddt + dispersion(t) * jnp.sqrt(ddt) * rnd
 
     if return_path:
-        _, fine_path = jax.lax.scan(scan_body, x0, (fine_ts, fine_ddts, rnds))
-        # Keep only the coarse-grid points (every m-th state is t_{k+1}).
-        coarse = fine_path[m - 1::m]
+        # Nested scans so only the coarse-grid states are materialised (the
+        # fine grid would cost m x the path memory; m=100 for Doob bridges).
+        ts_g = fine_ts.reshape(nsteps, m)
+        ddts_g = fine_ddts.reshape(nsteps, m)
+        rnds_g = rnds.reshape(nsteps, m, *x0.shape)
+
+        def outer(x, elem):
+            t_row, ddt_row, rnd_row = elem
+
+            def inner(i, xi):
+                return substep(xi, t_row[i], ddt_row[i], rnd_row[i])
+
+            x = jax.lax.fori_loop(0, m, inner, x)
+            return x, x
+
+        _, coarse = jax.lax.scan(outer, x0, (ts_g, ddts_g, rnds_g))
         return jnp.concatenate([x0[jnp.newaxis], coarse], axis=0)
     else:
-        terminal, _ = jax.lax.scan(lambda x, e: (scan_body(x, e)[0], None),
-                                   x0, (fine_ts, fine_ddts, rnds))
+        terminal, _ = jax.lax.scan(
+            lambda x, e: (substep(x, *e), None), x0, (fine_ts, fine_ddts, rnds))
         return terminal
 
 
