@@ -10,6 +10,7 @@ from fbs_tpu.sdes.linear import (
     make_gaussian_bw_sb,
 )
 from fbs_tpu.sdes.simulators import (
+    heun,
     euler_maruyama,
     reverse_simulator,
     discrete_time_simulator,

@@ -20,6 +20,7 @@ from fbs_tpu.typing import JArray, JKey
 
 __all__ = [
     "euler_maruyama",
+    "heun",
     "reverse_simulator",
     "discrete_time_simulator",
     "doob_bridge_simulator",
@@ -83,6 +84,37 @@ def euler_maruyama(key: JKey, x0: JArray, ts: JArray,
         return terminal
 
 
+def heun(key: JKey, x0: JArray, ts: JArray,
+         drift: Callable, dispersion: Callable,
+         return_path: bool = False) -> JArray:
+    r"""Stochastic Heun (improved Euler) integrator: strong order 1.0 for
+    additive noise, so the reverse-SDE discretisation bias at a given step
+    count is substantially smaller than Euler-Maruyama's — or equivalently
+    the same accuracy is reached with ~half the (score-network) steps.
+
+    Not present in the reference (Euler-Maruyama only,
+    ``fbs/sdes/simulators.py:53-106``); drift is evaluated twice per step, so
+    use it where accuracy-per-step, not drift evaluations, is the budget
+    (e.g. CSGM-style unconditional reverse sampling).
+    """
+    nsteps = ts.shape[0] - 1
+    rnds = jax.random.normal(key, (nsteps, *x0.shape))
+
+    def scan_body(x, elem):
+        t, t_next, rnd = elem
+        dt = jnp.abs(t_next - t)
+        noise = dispersion(t) * jnp.sqrt(dt) * rnd
+        f0 = drift(x, t)
+        x_pred = x + f0 * dt + noise
+        x = x + 0.5 * (f0 + drift(x_pred, t_next)) * dt + noise
+        return x, x if return_path else None
+
+    terminal, path = jax.lax.scan(scan_body, x0, (ts[:-1], ts[1:], rnds))
+    if return_path:
+        return jnp.concatenate([x0[jnp.newaxis], path], axis=0)
+    return terminal
+
+
 def reverse_simulator(key: JKey, u0: JArray, ts: JArray,
                       score: Callable, drift: Callable, dispersion: Callable,
                       integration_nsteps: int = 1,
@@ -101,6 +133,8 @@ def reverse_simulator(key: JKey, u0: JArray, ts: JArray,
     if integrator == "euler-maruyama":
         return euler_maruyama(key, u0, ts, reverse_drift, reverse_dispersion,
                               integration_nsteps=integration_nsteps)
+    if integrator == "heun":
+        return heun(key, u0, ts, reverse_drift, reverse_dispersion)
     raise NotImplementedError(f"Integrator {integrator} not implemented.")
 
 

@@ -234,3 +234,35 @@ def test_discretise_lti_sde_matches_scalar():
     F, Q = discretise_lti_sde(a * jnp.eye(1), b ** 2 * jnp.eye(1), dt)
     npt.assert_allclose(jnp.squeeze(F), math.exp(a * dt), rtol=1e-10)
     npt.assert_allclose(jnp.squeeze(Q), b ** 2 / (2 * a) * (math.exp(2 * a * dt) - 1), rtol=1e-8)
+
+
+def test_heun_beats_euler_bias():
+    """Stochastic Heun has smaller discretisation bias than Euler-Maruyama at
+    the same (coarse) step count for an OU reversal."""
+    from fbs_tpu.sdes import heun
+
+    sde = StationaryConstLinearSDE(a=-0.5, b=1.0)
+    T = 1.0
+    ts = jnp.linspace(0.0, T, 9)  # deliberately coarse
+
+    def stationary_score(u, t):
+        return -u
+
+    def reverse_drift(u, t):
+        return -sde.drift(u, T - t) + sde.dispersion(T - t) ** 2 * stationary_score(u, T - t)
+
+    def reverse_dispersion(t):
+        return sde.dispersion(T - t)
+
+    n = 200_000
+    u0s = jax.random.normal(jax.random.PRNGKey(0), (n, 1))
+    keys = jax.random.split(jax.random.PRNGKey(1), n)
+
+    em = jax.vmap(lambda k, u: euler_maruyama(k, u, ts, reverse_drift, reverse_dispersion))(keys, u0s)
+    hn = jax.vmap(lambda k, u: heun(k, u, ts, reverse_drift, reverse_dispersion))(keys, u0s)
+
+    # Both should stay ~stationary N(0,1); Heun's variance bias is smaller.
+    em_bias = abs(float(jnp.var(em)) - 1.0)
+    hn_bias = abs(float(jnp.var(hn)) - 1.0)
+    assert hn_bias < em_bias, (hn_bias, em_bias)
+    npt.assert_allclose(jnp.mean(hn), 0.0, atol=2e-2)
