@@ -113,11 +113,17 @@ def _merge_heads(t, H, W):
 
 class FullAttention(nn.Module):
     """l2-normalised-qk softmax attention over all pixels (reference
-    ``fbs/nn/unet.py:175-206``: qk l2-norm with fixed scale 10)."""
+    ``fbs/nn/unet.py:175-206``: qk l2-norm with fixed scale 10).
+
+    Above ``flash_threshold`` tokens the (N, N) score matrix is never
+    materialised: the memory-safe flash path in
+    ``fbs_tpu.ops.flash_attention`` runs instead (required for the
+    CelebA-HQ-256 bottleneck, N = 4096, batch = particles)."""
     heads: int = 4
     dim_head: int = 32
     scale: float = 10.0
     dtype: Any = jnp.float32
+    flash_threshold: int = 1024
 
     @nn.compact
     def __call__(self, x):
@@ -132,15 +138,23 @@ class FullAttention(nn.Module):
 
         q, k = l2norm(q), l2norm(k)
 
-        logits = jax.lax.dot_general(
-            q.astype(self.dtype), k.astype(self.dtype),
-            dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
-            preferred_element_type=jnp.float32) * self.scale  # (B, h, N, N)
-        attn = jax.nn.softmax(logits, axis=-1)
-        out = jax.lax.dot_general(
-            attn.astype(self.dtype), v.astype(self.dtype),
-            dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
-            preferred_element_type=jnp.float32)  # (B, h, N, d)
+        N = H * W
+        if N > self.flash_threshold:
+            from fbs_tpu.ops.flash_attention import flash_attention_jax
+
+            out = flash_attention_jax(q.astype(self.dtype), k.astype(self.dtype),
+                                      v.astype(self.dtype), scale=self.scale)
+            out = out.astype(jnp.float32)
+        else:
+            logits = jax.lax.dot_general(
+                q.astype(self.dtype), k.astype(self.dtype),
+                dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+                preferred_element_type=jnp.float32) * self.scale  # (B, h, N, N)
+            attn = jax.nn.softmax(logits, axis=-1)
+            out = jax.lax.dot_general(
+                attn.astype(self.dtype), v.astype(self.dtype),
+                dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+                preferred_element_type=jnp.float32)  # (B, h, N, d)
         out = _merge_heads(out, H, W)
         return nn.Conv(C, kernel_size=(1, 1), dtype=self.dtype)(out).astype(jnp.float32)
 

@@ -1,0 +1,199 @@
+"""Memory-safe (flash) attention for the UNet bottleneck.
+
+The reference's full attention materialises the (N, N) score matrix
+(``fbs/nn/unet.py:175-206``); at CelebA-HQ-256 the UNet bottleneck has
+N = 64*64 = 4096 tokens, so with batch = particles x heads the scores alone
+are tens of GB — the reason the reference never ran 256.  This module
+provides online-softmax attention that never materialises the full score
+matrix:
+
+- :func:`flash_attention_jax` — a pure-JAX ``lax.scan`` over KV blocks with
+  running (m, l, acc) statistics.  Differentiable (scan AD), works on any
+  backend; peak memory O(N * block_k) instead of O(N^2).
+- :func:`flash_attention_pallas` — the fused Pallas TPU kernel (forward):
+  grid over (batch*heads, q blocks), sequential KV-block loop with VMEM
+  scratch accumulators, f32 softmax statistics, bf16 matmuls on the MXU.
+- :func:`flash_attention` — custom-vjp wrapper: Pallas forward on TPU,
+  JAX-flash recompute for the backward.
+
+Patterns follow the JAX pallas flash-attention reference implementation
+(online softmax, two-level tiling, f32 statistics).
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fbs_tpu.typing import JArray
+
+__all__ = ["flash_attention", "flash_attention_jax", "flash_attention_pallas"]
+
+_NEG_INF = -0.7 * 3.4e38  # avoids exp(-inf - (-inf)) NaNs
+
+
+def flash_attention_jax(q: JArray, k: JArray, v: JArray,
+                        scale: float = 1.0, block_k: int = 512) -> JArray:
+    """Online-softmax attention, pure JAX.
+
+    Shapes: q, k, v are (..., N, d); softmax over the N axis of k.
+    """
+    n = k.shape[-2]
+    block_k = min(block_k, n)
+    nblocks = -(-n // block_k)
+    pad = nblocks * block_k - n
+
+    if pad:
+        kp = jnp.pad(k, [(0, 0)] * (k.ndim - 2) + [(0, pad), (0, 0)])
+        vp = jnp.pad(v, [(0, 0)] * (v.ndim - 2) + [(0, pad), (0, 0)])
+        mask = jnp.arange(nblocks * block_k) < n
+    else:
+        kp, vp = k, v
+        mask = None
+
+    kb = jnp.moveaxis(kp.reshape(*kp.shape[:-2], nblocks, block_k, kp.shape[-1]), -3, 0)
+    vb = jnp.moveaxis(vp.reshape(*vp.shape[:-2], nblocks, block_k, vp.shape[-1]), -3, 0)
+    if mask is not None:
+        maskb = mask.reshape(nblocks, block_k)
+
+    m0 = jnp.full((*q.shape[:-1], 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((*q.shape[:-1], 1), jnp.float32)
+    acc0 = jnp.zeros(q.shape, jnp.float32)
+
+    def body(carry, inp):
+        m_prev, l_prev, acc = carry
+        if mask is not None:
+            kblk, vblk, mblk = inp
+        else:
+            kblk, vblk = inp
+
+        s = jnp.einsum("...qd,...kd->...qk", q, kblk,
+                       preferred_element_type=jnp.float32) * scale
+        if mask is not None:
+            s = jnp.where(mblk, s, _NEG_INF)
+
+        m_curr = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)
+        l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        acc = alpha * acc + jnp.einsum("...qk,...kd->...qd", p.astype(vblk.dtype), vblk,
+                                       preferred_element_type=jnp.float32)
+        return (m_next, l_next, acc), None
+
+    xs = (kb, vb, maskb) if mask is not None else (kb, vb)
+    (m, l, acc), _ = jax.lax.scan(body, (m0, l0, acc0), xs)
+    return (acc / jnp.maximum(l, 1e-30)).astype(q.dtype)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
+                  *, scale, block_k, kv_len):
+    kv_idx = pl.program_id(2)
+    nblocks = pl.num_programs(2)
+
+    @pl.when(kv_idx == 0)
+    def _():
+        m_scr[:] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
+        l_scr[:] = jnp.zeros(l_scr.shape, jnp.float32)
+        acc_scr[:] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+    q = q_ref[0]  # (block_q, d)
+    k = k_ref[0]  # (block_k, d)
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+
+    m_prev = m_scr[:]
+    l_prev = l_scr[:]
+    m_curr = jnp.max(s, axis=1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_curr)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next)
+    l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+
+    m_scr[:] = m_next
+    l_scr[:] = l_next
+
+    v = v_ref[0]
+    acc_scr[:] = alpha * acc_scr[:] + jax.lax.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+
+    @pl.when(kv_idx == nblocks - 1)
+    def _():
+        o_ref[0] = (acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)).astype(o_ref.dtype)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except RuntimeError:
+        return False
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret"))
+def flash_attention_pallas(q: JArray, k: JArray, v: JArray,
+                           scale: float = 1.0,
+                           block_q: int = 512, block_k: int = 512,
+                           interpret: bool = False) -> JArray:
+    """Fused forward flash attention on TPU.
+
+    Shapes: (B, N, d) with B = batch*heads flattened; N must be divisible by
+    the block sizes (the UNet bottleneck grids are powers of two).
+    """
+    B, N, d = q.shape
+    block_q = min(block_q, N)
+    block_k = min(block_k, N)
+    assert N % block_q == 0 and N % block_k == 0, (N, block_q, block_k)
+
+    grid = (B, N // block_q, N // block_k)
+    kernel = functools.partial(_flash_kernel, scale=scale, block_k=block_k, kv_len=N)
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret or not _on_tpu(),
+    )(q, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_attention(q: JArray, k: JArray, v: JArray, scale: float = 1.0) -> JArray:
+    """Memory-safe attention with gradient support: Pallas forward on TPU
+    (interpreter elsewhere), JAX-flash recompute backward."""
+    return flash_attention_pallas(q, k, v, scale=scale)
+
+
+def _fwd(q, k, v, scale):
+    return flash_attention(q, k, v, scale), (q, k, v)
+
+
+def _bwd(scale, residuals, g):
+    q, k, v = residuals
+    _, vjp = jax.vjp(lambda q_, k_, v_: flash_attention_jax(q_, k_, v_, scale=scale),
+                     q, k, v)
+    return vjp(g)
+
+
+flash_attention.defvjp(_fwd, _bwd)
