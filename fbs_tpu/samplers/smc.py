@@ -45,6 +45,7 @@ def bootstrap_filter(transition_sampler: Callable[[JArray, JArray, FloatScalar, 
                      resampling: Callable[[JArray, JKey], JArray],
                      log: bool = True,
                      return_last: bool = True,
+                     ess_threshold: Optional[float] = None,
                      **kwargs) -> Tuple[JArray, JFloat]:
     r"""Bootstrap particle filter over the backward bridge (reference
     ``fbs/samplers/smc.py:9-88``).
@@ -52,8 +53,14 @@ def bootstrap_filter(transition_sampler: Callable[[JArray, JArray, FloatScalar, 
     Scans over the measurement sequence ``vs``; at each step weights are
     computed from the *previous* particles (the u/v split of the separable
     forward process makes ``p(v_k | u_{k-1}, v_{k-1})`` the natural
-    likelihood), resampling happens every step, and the negative log evidence
-    accumulates via logsumexp.
+    likelihood), and the negative log evidence accumulates via logsumexp.
+
+    With the default ``ess_threshold=None`` the filter resamples every step —
+    the reference's behaviour (its note at ``smc.py:53-55``).  Passing e.g.
+    ``ess_threshold=0.5`` enables standard adaptive resampling: weights are
+    carried across steps and particles resample only when
+    ``ESS < threshold * n`` — fewer collective gathers on a sharded particle
+    axis and lower resampling variance.
 
     Returns the terminal particles (or the full filtering history when
     ``return_last=False``) and the accumulated negative log likelihood.
@@ -61,29 +68,58 @@ def bootstrap_filter(transition_sampler: Callable[[JArray, JArray, FloatScalar, 
     if not log:
         raise NotImplementedError("Only the log-domain filter is supported (and used).")
 
-    def scan_body(carry, elem):
-        us_prev, log_nell = carry
-        v, v_prev, t_prev, key_ = elem
-        key_proposal, key_resampling = jax.random.split(key_)
-
-        us = transition_sampler(us_prev, v_prev, t_prev, key_proposal, **kwargs)
-
-        log_weights = measurement_cond_pdf(v, us_prev, v_prev, t_prev, **kwargs)
-        _c = jax.scipy.special.logsumexp(log_weights)
-        log_nell -= _c - math.log(nparticles)
-        log_weights = log_weights - _c
-        inds = resampling(jnp.exp(log_weights), key_resampling)
-        us = jnp.take(us, inds, axis=0)
-
-        return (us, log_nell), None if return_last else us
-
     nsteps = vs.shape[0] - 1
     key_init, key_steps = jax.random.split(key)
     init_samples = init_sampler(key_init, vs[0], nparticles)
     keys = jax.random.split(key_steps, num=nsteps)
 
-    (last_samples, nell_ys), filtering_samples = jax.lax.scan(
-        scan_body, (init_samples, 0.), (vs[1:], vs[:-1], ts[:-1], keys))
+    if ess_threshold is None:
+        def scan_body(carry, elem):
+            us_prev, log_nell = carry
+            v, v_prev, t_prev, key_ = elem
+            key_proposal, key_resampling = jax.random.split(key_)
+
+            us = transition_sampler(us_prev, v_prev, t_prev, key_proposal, **kwargs)
+
+            log_weights = measurement_cond_pdf(v, us_prev, v_prev, t_prev, **kwargs)
+            _c = jax.scipy.special.logsumexp(log_weights)
+            log_nell -= _c - math.log(nparticles)
+            log_weights = log_weights - _c
+            inds = resampling(jnp.exp(log_weights), key_resampling)
+            us = jnp.take(us, inds, axis=0)
+
+            return (us, log_nell), None if return_last else us
+
+        (last_samples, nell_ys), filtering_samples = jax.lax.scan(
+            scan_body, (init_samples, 0.), (vs[1:], vs[:-1], ts[:-1], keys))
+    else:
+        log_uniform = -math.log(nparticles) * jnp.ones(nparticles)
+
+        def scan_body(carry, elem):
+            us_prev, log_ws_prev, log_nell = carry
+            v, v_prev, t_prev, key_ = elem
+            key_proposal, key_resampling = jax.random.split(key_)
+
+            us = transition_sampler(us_prev, v_prev, t_prev, key_proposal, **kwargs)
+
+            log_incr = measurement_cond_pdf(v, us_prev, v_prev, t_prev, **kwargs)
+            log_ws = log_ws_prev + log_incr
+            _c = jax.scipy.special.logsumexp(log_ws)
+            log_nell -= _c
+            log_ws = log_ws - _c
+
+            ess = 1.0 / jnp.sum(jnp.exp(2.0 * log_ws))
+            do_resample = ess < ess_threshold * nparticles
+            inds = resampling(jnp.exp(log_ws), key_resampling)
+            us = jnp.where(do_resample, jnp.take(us, inds, axis=0), us)
+            log_ws = jnp.where(do_resample, log_uniform, log_ws)
+
+            return (us, log_ws, log_nell), None if return_last else us
+
+        (last_samples, _, nell_ys), filtering_samples = jax.lax.scan(
+            scan_body, (init_samples, log_uniform, 0.),
+            (vs[1:], vs[:-1], ts[:-1], keys))
+
     if return_last:
         return last_samples, nell_ys
     filtering_samples = jnp.concatenate(

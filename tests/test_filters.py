@@ -80,6 +80,60 @@ def test_bootstrap_filter_tracks_kalman():
     assert jnp.isfinite(pf_nell)
 
 
+def test_adaptive_resampling_filter_tracks_kalman():
+    """ESS-adaptive resampling (absent from the reference) gives the same
+    filtering moments as resample-every-step on a stable LGSSM."""
+    F, trans_var, meas_var = 0.8, 0.2, 0.5
+    nsteps = 30
+    ts = jnp.linspace(0, 1, nsteps + 1)
+    key = jax.random.PRNGKey(1)
+
+    def sim(carry, k):
+        x = carry
+        kq, kr = jax.random.split(k)
+        x = F * x + jnp.sqrt(trans_var) * jax.random.normal(kq)
+        y = x + jnp.sqrt(meas_var) * jax.random.normal(kr)
+        return x, y
+
+    _, ys = jax.lax.scan(sim, 0.0, jax.random.split(key, nsteps))
+    ys = jnp.concatenate([jnp.array([0.0]), ys])
+
+    def kf(carry, y):
+        mf, vf = carry
+        mp, vp = F * mf, F * vf * F + trans_var
+        # Lagged-measurement layout: weight uses the pre-transition particle,
+        # i.e. p(y_k | x_{k-1}) = N(y; F x_{k-1}, F^2 v + q + r).
+        s = vp + meas_var
+        gain = vp / s
+        mf = mp + gain * (y - mp)
+        vf = vp - gain * vp
+        return (mf, vf), (mf, vf)
+
+    _, (mfs, vfs) = jax.lax.scan(kf, (0.0, 1.0), ys[1:])
+
+    def transition_sampler(x, y_prev, t, key_):
+        return F * x + jnp.sqrt(trans_var) * jax.random.normal(key_, x.shape)
+
+    def likelihood_logpdf(y, x_prev, y_prev, t):
+        return jax.scipy.stats.norm.logpdf(y, F * x_prev,
+                                           jnp.sqrt(F * F * trans_var + meas_var))
+
+    def init_sampler(key_, y, n):
+        return jax.random.normal(key_, (n,))
+
+    n = 4000
+    key1, key2 = jax.random.split(jax.random.PRNGKey(2))
+    always, nell_a = bootstrap_filter(transition_sampler, likelihood_logpdf, ys, ts,
+                                      init_sampler, key1, n, stratified,
+                                      return_last=True)
+    adaptive, nell_b = bootstrap_filter(transition_sampler, likelihood_logpdf, ys, ts,
+                                        init_sampler, key2, n, stratified,
+                                        return_last=True, ess_threshold=0.5)
+    npt.assert_allclose(jnp.mean(adaptive), jnp.mean(always), atol=0.1)
+    npt.assert_allclose(jnp.var(adaptive), jnp.var(always), rtol=0.25, atol=0.05)
+    npt.assert_allclose(nell_b, nell_a, rtol=0.05, atol=0.5)
+
+
 def test_backward_smoother_recovers_gp_posterior():
     def gp_cov(t1, t2):
         return sigma ** 2 * jnp.exp(-jnp.abs(t1[None, :] - t2[:, None]) / ell)
