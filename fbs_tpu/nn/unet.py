@@ -65,13 +65,15 @@ class WSConv(nn.Module):
         var = jnp.var(kernel, axis=redux, keepdims=True)
         kernel = (kernel - mean) * jax.lax.rsqrt(var + eps)
 
+        # Uniform compute dtype (no preferred_element_type: its conv VJP
+        # produces mixed-dtype transposed convs, which lax rejects).  TPU
+        # accumulates bf16 convs in f32 internally regardless.
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), kernel.astype(self.dtype),
             window_strides=(1, 1),
             padding=[(self.padding, self.padding)] * 2,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32)
-        return y + bias
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y.astype(jnp.float32) + bias
 
 
 class ResBlock(nn.Module):
@@ -148,13 +150,13 @@ class FullAttention(nn.Module):
         else:
             logits = jax.lax.dot_general(
                 q.astype(self.dtype), k.astype(self.dtype),
-                dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
-                preferred_element_type=jnp.float32) * self.scale  # (B, h, N, N)
+                dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1)))
+            ).astype(jnp.float32) * self.scale  # (B, h, N, N)
             attn = jax.nn.softmax(logits, axis=-1)
             out = jax.lax.dot_general(
                 attn.astype(self.dtype), v.astype(self.dtype),
-                dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
-                preferred_element_type=jnp.float32)  # (B, h, N, d)
+                dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1)))
+            ).astype(jnp.float32)  # (B, h, N, d)
         out = _merge_heads(out, H, W)
         return nn.Conv(C, kernel_size=(1, 1), dtype=self.dtype)(out).astype(jnp.float32)
 
@@ -181,13 +183,12 @@ class LinearAttention(nn.Module):
         # context = k^T v : (B, h, d, d)
         context = jax.lax.dot_general(
             k.astype(self.dtype), v.astype(self.dtype),
-            dimension_numbers=(((2,), (2,)), ((0, 1), (0, 1))),
-            preferred_element_type=jnp.float32)
+            dimension_numbers=(((2,), (2,)), ((0, 1), (0, 1))))
         # out = q @ context : (B, h, N, d)
         out = jax.lax.dot_general(
-            q.astype(self.dtype), context.astype(self.dtype),
-            dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
-            preferred_element_type=jnp.float32)
+            q.astype(self.dtype), context,
+            dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1)))
+        ).astype(jnp.float32)
         out = _merge_heads(out, H, W)
         out = nn.Conv(C, kernel_size=(1, 1), dtype=self.dtype)(out)
         return nn.LayerNorm(epsilon=1e-5, use_bias=False)(out.astype(jnp.float32))

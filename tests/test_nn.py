@@ -92,3 +92,21 @@ def test_simple_st_nn_batched_time():
     out_scalar = forward(x, jnp.array(0.3), param)
     assert out_vec.shape == (8, 4)
     npt.assert_allclose(out_vec, out_scalar, atol=1e-6)
+
+
+def test_unet_bf16_training_grads():
+    """Gradients flow through the bf16 compute path (regression: conv VJP
+    with preferred_element_type produced mixed-dtype transposed convs)."""
+    unet = UNet(dt=0.05, dim=8, dim_mults=(1, 2), compute_dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (4, 16, 16, 1))
+    t = jnp.linspace(0.1, 0.9, 4)
+    variables = unet.init(key, x, t)
+
+    def loss(v):
+        return jnp.mean(unet.apply(v, x, t) ** 2)
+
+    g = jax.grad(loss)(variables)
+    leaves = jax.tree.leaves(g)
+    assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
+    assert any(float(jnp.max(jnp.abs(l))) > 0 for l in leaves)
