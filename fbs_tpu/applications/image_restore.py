@@ -9,8 +9,9 @@ CSGM baselines — shares the same drift/score plumbing.
 TPU-first details:
 
 - one score-network evaluation per sampler step via the fused
-  transition+likelihood kernel (2x fewer UNet evals than the reference's
-  closures; enabled by default),
+  transition+likelihood kernel (an API-level guarantee; within one jitted
+  program XLA CSE can merge the reference's duplicate evaluations, but the
+  fused form holds even when the two closures' inputs diverge),
 - optional particle sharding over a mesh axis (``mesh=``): the UNet batch is
   split across chips by GSPMD, with collectives only at resampling and
   weight normalisation,
@@ -21,9 +22,9 @@ TPU-first details:
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -1,7 +1,7 @@
 """Dataset protocol (reference ``fbs/data/base.py``)."""
 from __future__ import annotations
 
-from typing import List, Protocol, Tuple
+from typing import List, Protocol
 
 import jax
 import jax.numpy as jnp

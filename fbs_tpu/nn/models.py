@@ -2,7 +2,7 @@
 (capability parity with reference ``fbs/nn/models.py``)."""
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

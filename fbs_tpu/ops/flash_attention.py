@@ -22,8 +22,8 @@ Patterns follow the JAX pallas flash-attention reference implementation
 from __future__ import annotations
 
 import functools
-import math
-from typing import Optional
+
+
 
 import jax
 import jax.numpy as jnp

@@ -18,14 +18,11 @@ layout.
 """
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
-import jax
-import jax.numpy as jnp
 from jax.lax import with_sharding_constraint
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from fbs_tpu.typing import JArray, JKey
 
 __all__ = [
     "shard_particle_closures",

@@ -24,12 +24,12 @@ where ``(f_u, f_v)`` are the unpacked halves of the joint reverse drift.
 from __future__ import annotations
 
 import math
-from typing import Callable, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
 
-from fbs_tpu.typing import JArray, JKey, FloatScalar
+from fbs_tpu.typing import FloatScalar
 
 __all__ = ["make_separable_kernels"]
 
