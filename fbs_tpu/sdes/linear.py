@@ -227,7 +227,8 @@ def make_linear_sde_law_loss(sde: LinearSDE,
                              nsteps: int = 100,
                              random_times: bool = True,
                              loss_type: str = "score",
-                             save_mem: bool = False) -> Callable:
+                             save_mem: bool = False,
+                             remat: bool = False) -> Callable:
     """Denoising-score-matching / IPF losses over forward paths.
 
     Rebuild of reference ``fbs/sdes/linear.py:230-365`` with one TPU-first
@@ -239,9 +240,15 @@ def make_linear_sde_law_loss(sde: LinearSDE,
     ``loss_type`` is one of ``'score'`` (weighted DSM), ``'ipf'``
     (mean-matching), ``'ipf-score'`` (one-step score).  ``save_mem=True`` ties
     the batch and time axes: each sample gets a single random time.
+    ``remat=True`` wraps the network in ``jax.checkpoint`` — activations are
+    recomputed in the backward pass (trade FLOPs for HBM; useful for the
+    CelebA-HQ-128/256 training batches).
     """
     discretise_linear_sde, cond_score_t_0, simulate_cond_forward = make_linear_sde(sde)
     eps = 1e-5  # smallest offset that stays stable in f32
+
+    if remat:
+        nn_fn = jax.checkpoint(nn_fn)
 
     def score_scale(t, s):
         return discretise_linear_sde(t, s)[1]

@@ -117,3 +117,26 @@ def test_dsb_trainer_runs_one_iteration():
                            jnp.zeros((2,)), jnp.zeros((2,)), nsbs=2)
     assert pf.shape == (2,) and pb.shape == (2,)
     assert bool(jnp.all(jnp.isfinite(pf))) and bool(jnp.all(jnp.isfinite(pb)))
+
+
+def test_remat_loss_matches_and_grads():
+    """remat=True gives the same loss/grads (recompute changes memory, not
+    math)."""
+    sde = StationaryConstLinearSDE(a=-0.5, b=1.0)
+
+    def nn_fn(x, t, param):
+        return param[0] * x + param[1]
+
+    key = jax.random.PRNGKey(0)
+    x0s = jax.random.normal(key, (16, 4))
+    param = jnp.array([0.3, -0.1])
+
+    l_plain = make_linear_sde_law_loss(sde, nn_fn, t0=0.0, T=1.0, nsteps=6,
+                                       random_times=False, loss_type="score")
+    l_remat = make_linear_sde_law_loss(sde, nn_fn, t0=0.0, T=1.0, nsteps=6,
+                                       random_times=False, loss_type="score",
+                                       remat=True)
+    v1, g1 = jax.value_and_grad(l_plain)(param, key, x0s)
+    v2, g2 = jax.value_and_grad(l_remat)(param, key, x0s)
+    npt.assert_allclose(float(v1), float(v2), rtol=1e-7)
+    npt.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-7)
