@@ -30,6 +30,8 @@ def main():
     parser.add_argument("--schedule", type=str, default="cos")
     parser.add_argument("--nepochs", type=int, default=3000)
     parser.add_argument("--save_mem", action="store_true", default=False)
+    parser.add_argument("--remat", action="store_true", default=False,
+                        help="Recompute activations in backward (jax.checkpoint).")
     parser.add_argument("--grad_clip", action="store_true", default=False)
     parser.add_argument("--bf16", action="store_true", default=False)
     parser.add_argument("--dp", action="store_true", default=False,
@@ -55,7 +57,8 @@ def main():
 
     loss_fn = make_linear_sde_law_loss(sde, nn_score, t0=0.0, T=T,
                                        nsteps=args.nsteps, random_times=True,
-                                       loss_type=args.loss_type, save_mem=args.save_mem)
+                                       loss_type=args.loss_type, save_mem=args.save_mem,
+                                       remat=args.remat)
 
     mesh = None
     if args.dp:
