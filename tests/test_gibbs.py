@@ -103,3 +103,29 @@ def test_gibbs_kernel_targets_conditional(use_fused):
 
     npt.assert_allclose(np.mean(x0s), true_mean, rtol=5e-2)
     npt.assert_allclose(np.var(x0s), true_var, rtol=5e-2)
+
+
+def test_gibbs_marg_y_runs():
+    """The marg_y (Doob-bridged y-path) variant runs and keeps targeting the
+    conditional (smoke-scale; the reference never uses it in the paper)."""
+    (sde, ts, dt, y0, fwd_sampler, unpack, kernels,
+     true_mean, true_var, nsteps) = _setup()
+    transition_sampler, transition_logpdf, likelihood_logpdf, fused_kernel = kernels
+
+    def sweep(carry, key_):
+        x0, us_star, bs_star = carry
+        x0, us_star, bs_star, _ = gibbs_kernel(
+            key_, x0, y0, us_star, bs_star,
+            ts, fwd_sampler, sde, unpack, 10,
+            transition_sampler, transition_logpdf, likelihood_logpdf,
+            marg_y=True, explicit_backward=True, explicit_final=False,
+            fused_kernel=fused_kernel)
+        return (x0, us_star, bs_star), x0[0]
+
+    keys = jax.random.split(jax.random.PRNGKey(1), 400)
+    _, x0s = jax.lax.scan(sweep, (jnp.array([0.0]),
+                                  jnp.zeros((nsteps + 1, 1)),
+                                  jnp.zeros((nsteps + 1,), dtype=int)), keys)
+    x0s = np.asarray(x0s)[100:]
+    assert np.all(np.isfinite(x0s))
+    npt.assert_allclose(np.mean(x0s), true_mean, atol=0.3)
