@@ -75,6 +75,10 @@ class RestorationSampler:
     use_fused: bool = True
     mesh: Any = None
     data_variance: float = 0.06
+    # Conditional resampling scheme for the CSMC passes: "killing" (the
+    # reference's choice), "multinomial", or "systematic" (this framework
+    # implements the conditional variant the reference lacks).
+    cond_resampling: str = "killing"
     # Overrides for non-score-based models (e.g. learned Schrodinger-bridge
     # drifts, reference ``experiments/sb_imgs/supr.py:84-137``): a custom
     # joint reverse drift f(uv, t) and a custom forward path sampler
@@ -217,8 +221,18 @@ class RestorationSampler:
             transition_logpdf=self.transition_logpdf,
             likelihood_logpdf=self.likelihood_logpdf,
             marg_y=marg_y, explicit_backward=explicit_backward,
-            explicit_final=explicit_final, fused_kernel=self.fused_kernel))
+            explicit_final=explicit_final, fused_kernel=self.fused_kernel,
+            cond_resampling=self._cond_resampling_fn()))
         return fn(key, x0, y0, us_star, bs_star, mask_=mask)
+
+    def _cond_resampling_fn(self):
+        from fbs_tpu.samplers.csmc import resamplings as cond
+
+        try:
+            return {"killing": cond.killing, "multinomial": cond.multinomial,
+                    "systematic": cond.systematic}[self.cond_resampling]
+        except KeyError:
+            raise ValueError(f"Unknown cond_resampling {self.cond_resampling!r}")
 
     def pmcmc_step(self, key: JKey, uT: JArray, log_ell, ys: JArray, y0: JArray,
                    mask, delta: Optional[float] = None):
@@ -250,7 +264,8 @@ class RestorationSampler:
                          likelihood_logpdf=self.likelihood_logpdf,
                          marg_y=marg_y, explicit_backward=explicit_backward,
                          explicit_final=explicit_final,
-                         fused_kernel=self.fused_kernel)
+                         fused_kernel=self.fused_kernel,
+                         cond_resampling=self._cond_resampling_fn())
 
         def one_step(key_, x0, us_star, bs_star):
             x0, us_star, bs_star, acc = kernel(key_, x0, y0, us_star, bs_star,

@@ -174,3 +174,17 @@ def test_fused_matches_split_drift(restoration):
     logw_split = sampler.likelihood_logpdf(v, us_prev, v, t, mask_=mask)
     npt.assert_allclose(np.asarray(us_fused), np.asarray(us_split), rtol=1e-5, atol=1e-6)
     npt.assert_allclose(np.asarray(logw_fused), np.asarray(logw_split), rtol=1e-5)
+
+
+def test_restoration_conditional_systematic(restoration):
+    """The conditional-systematic scheme (absent from the reference) plugs
+    into the image Gibbs sampler."""
+    sampler, dataset, test_img, y0, mask = restoration
+    import dataclasses
+    s2 = dataclasses.replace(sampler, cond_resampling="systematic")
+    x0 = jnp.zeros(dataset.unobs_shape)
+    us_star = jnp.zeros((s2.nsteps + 1, *dataset.unobs_shape))
+    bs_star = jnp.zeros((s2.nsteps + 1,), dtype=int)
+    x0, us_star, bs_star, _ = s2.gibbs_step(jax.random.PRNGKey(11), x0, y0,
+                                            us_star, bs_star, mask)
+    assert bool(jnp.all(jnp.isfinite(x0)))
