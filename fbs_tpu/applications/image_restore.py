@@ -214,7 +214,9 @@ class RestorationSampler:
                    us_star: JArray, bs_star: JArray, mask,
                    explicit_backward: bool = True, explicit_final: bool = False,
                    marg_y: bool = False):
-        fn = self._jit(f"gibbs_{explicit_backward}_{explicit_final}_{marg_y}", partial(
+        fn = self._jit(
+            f"gibbs_{explicit_backward}_{explicit_final}_{marg_y}_{self.cond_resampling}",
+            partial(
             _gibbs_kernel, ts=self.ts, fwd_sampler=self.fwd_sampler, sde=self.sde,
             unpack=self.unpack, nparticles=self.nparticles,
             transition_sampler=self.transition_sampler,
