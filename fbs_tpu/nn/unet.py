@@ -76,6 +76,25 @@ class WSConv(nn.Module):
         return y + bias.astype(self.dtype)
 
 
+class FusedGroupNorm(nn.Module):
+    """GroupNorm backed by the one-pass Pallas kernel
+    (``fbs_tpu.ops.group_norm_pallas``).  Same parameters ("scale"/"bias")
+    as ``nn.GroupNorm``, so checkpoints interoperate.  Forward-only — use for
+    sampling, not training."""
+    num_groups: int = 8
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        from fbs_tpu.ops.group_norm_pallas import fused_group_norm
+
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        return fused_group_norm(x, scale, bias, groups=self.num_groups,
+                                eps=self.epsilon)
+
+
 class ResBlock(nn.Module):
     """WSConv-GroupNorm residual block with time-FiLM scale/shift.
 
@@ -85,11 +104,17 @@ class ResBlock(nn.Module):
     dim: int
     groups: int = 8
     dtype: Any = jnp.float32
+    fused_norms: bool = False
 
     @nn.compact
     def __call__(self, x, time_emb):
+        def norm(name):
+            if self.fused_norms:
+                return FusedGroupNorm(num_groups=self.groups, name=name)
+            return nn.GroupNorm(num_groups=self.groups, dtype=self.dtype, name=name)
+
         h = WSConv(self.dim, dtype=self.dtype)(x)
-        h = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype)(h)
+        h = norm("GroupNorm_0")(h)
 
         emb = nn.Dense(2 * self.dim, dtype=self.dtype)(nn.swish(time_emb))
         scale, shift = jnp.split(emb[:, None, None, :], 2, axis=-1)
@@ -97,7 +122,7 @@ class ResBlock(nn.Module):
         h = nn.swish(h)
 
         h = WSConv(self.dim, dtype=self.dtype)(h)
-        h = nn.swish(nn.GroupNorm(num_groups=self.groups, dtype=self.dtype)(h))
+        h = nn.swish(norm("GroupNorm_1")(h))
 
         if x.shape[-1] != self.dim:
             x = nn.Conv(self.dim, kernel_size=(1, 1), dtype=self.dtype)(x)
@@ -277,6 +302,7 @@ class UNet(nn.Module):
     out_dim: Optional[int] = None
     dim_mults: Tuple[int, ...] = (1, 2, 4)
     resnet_block_groups: int = 8
+    fused_norms: bool = False  # one-pass Pallas GroupNorm (sampling only)
     compute_dtype: Any = jnp.float32
 
     @nn.compact
@@ -304,9 +330,11 @@ class UNet(nn.Module):
         nres = len(self.dim_mults)
         for ind in range(nres):
             dim_in = h.shape[-1]
-            h = ResBlock(dim=dim_in, groups=self.resnet_block_groups, dtype=dtype)(h, t_emb)
+            h = ResBlock(dim=dim_in, groups=self.resnet_block_groups, dtype=dtype,
+                         fused_norms=self.fused_norms)(h, t_emb)
             hs.append(h)
-            h = ResBlock(dim=dim_in, groups=self.resnet_block_groups, dtype=dtype)(h, t_emb)
+            h = ResBlock(dim=dim_in, groups=self.resnet_block_groups, dtype=dtype,
+                         fused_norms=self.fused_norms)(h, t_emb)
             h = AttnGate(linear=True, dtype=dtype, name=f"down_{ind}_attn")(h)
             hs.append(h)
             if ind < nres - 1:
@@ -317,9 +345,11 @@ class UNet(nn.Module):
         h = nn.Conv(mid_dim, kernel_size=(3, 3), padding=1, dtype=dtype,
                     name=f"down_{nres - 1}_proj")(h)
         h = ResBlock(dim=mid_dim, groups=self.resnet_block_groups, dtype=dtype,
+                         fused_norms=self.fused_norms,
                      name="mid_res0")(h, t_emb)
         h = AttnGate(linear=False, dtype=dtype, name="mid_attn")(h)
         h = ResBlock(dim=mid_dim, groups=self.resnet_block_groups, dtype=dtype,
+                         fused_norms=self.fused_norms,
                      name="mid_res1")(h, t_emb)
 
         for ind in reversed(range(nres)):
@@ -328,9 +358,11 @@ class UNet(nn.Module):
 
             h = jnp.concatenate([h, hs.pop()], axis=-1)
             h = ResBlock(dim=dim_in, groups=self.resnet_block_groups, dtype=dtype,
+                         fused_norms=self.fused_norms,
                          name=f"up_{ind}_res0")(h, t_emb)
             h = jnp.concatenate([h, hs.pop()], axis=-1)
             h = ResBlock(dim=dim_in, groups=self.resnet_block_groups, dtype=dtype,
+                         fused_norms=self.fused_norms,
                          name=f"up_{ind}_res1")(h, t_emb)
             h = AttnGate(linear=True, dtype=dtype, name=f"up_{ind}_attn")(h)
             if ind > 0:
@@ -340,6 +372,7 @@ class UNet(nn.Module):
         h = nn.Conv(init_dim, kernel_size=(3, 3), padding=1, dtype=dtype, name="head_proj")(h)
         h = jnp.concatenate([h, hs.pop()], axis=-1)
         out = ResBlock(dim=self.dim, groups=self.resnet_block_groups, dtype=dtype,
+                         fused_norms=self.fused_norms,
                        name="final_res")(h, t_emb)
 
         out_dim = C if self.out_dim is None else self.out_dim

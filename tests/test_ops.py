@@ -59,3 +59,40 @@ def test_pallas_path_simulator_matches_scan():
     _, ref = jax.lax.scan(ref_step, x0, (Fs, sqs, noise))
     ref = jnp.concatenate([x0[None], ref], axis=0)
     npt.assert_allclose(np.asarray(path), np.asarray(ref), rtol=1e-6)
+
+
+def test_fused_group_norm_matches_flax():
+    """The one-pass Pallas GroupNorm matches flax nn.GroupNorm exactly
+    (interpret mode), including checkpoint-compatible parameter paths."""
+    import flax.linen as nn
+    from fbs_tpu.ops.group_norm_pallas import fused_group_norm, _gn_reference
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (3, 8, 8, 16))
+    scale = jax.random.normal(jax.random.PRNGKey(1), (16,)) * 0.1 + 1.0
+    bias = jax.random.normal(jax.random.PRNGKey(2), (16,)) * 0.1
+
+    ref = nn.GroupNorm(num_groups=4, epsilon=1e-6).apply(
+        {"params": {"scale": scale, "bias": bias}}, x)
+    got_interp = fused_group_norm(x, scale, bias, groups=4, eps=1e-6, interpret=True)
+    got_jnp = _gn_reference(x, scale, bias, 4, 1e-6)
+    npt.assert_allclose(np.asarray(got_interp), np.asarray(ref), rtol=2e-5, atol=2e-5)
+    npt.assert_allclose(np.asarray(got_jnp), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_unet_fused_norms_matches_plain():
+    """UNet(fused_norms=True) reproduces the standard UNet outputs with the
+    same parameters (CPU fallback path)."""
+    from fbs_tpu.nn import UNet
+
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(key, (2, 16, 16, 1))
+    t = jnp.array([0.3, 0.6])
+
+    plain = UNet(dt=0.05, dim=8, dim_mults=(1, 2))
+    fused = UNet(dt=0.05, dim=8, dim_mults=(1, 2), fused_norms=True)
+    variables = plain.init(jax.random.PRNGKey(4), x, t)
+    out_plain = plain.apply(variables, x, t)
+    out_fused = fused.apply(variables, x, t)  # same params must fit
+    npt.assert_allclose(np.asarray(out_fused), np.asarray(out_plain),
+                        rtol=2e-4, atol=2e-4)
