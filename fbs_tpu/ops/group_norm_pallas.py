@@ -37,16 +37,33 @@ def _gn_reference(x, scale, bias, groups, eps):
 
 
 def _gn_kernel(x_ref, scale_ref, bias_ref, o_ref, *, groups, eps):
+    # Layout-friendly formulation: the channel (lane) axis is never split.
+    # Group statistics are computed by summing per-channel statistics through
+    # a one-hot (C, G) grouping matmul; per-channel mean/inv-std come back by
+    # the transposed matmul.  (A direct (HW, G, C/G) reshape splits the lane
+    # dimension and Mosaic rejects the shape cast.)
     x = x_ref[0]  # (H, W, C)
     H, W, C = x.shape
     cg = C // groups
 
-    xf = x.astype(jnp.float32).reshape(H * W, groups, cg)
-    mean = jnp.mean(xf, axis=(0, 2), keepdims=True)          # (1, G, 1)
-    var = jnp.mean((xf - mean) ** 2, axis=(0, 2), keepdims=True)
-    y = (xf - mean) * jax.lax.rsqrt(var + eps)
-    y = y.reshape(H, W, C) * scale_ref[0].astype(jnp.float32) + bias_ref[0].astype(jnp.float32)
-    o_ref[0] = y.astype(o_ref.dtype)
+    xf = x.astype(jnp.float32).reshape(H * W, C)
+    s = jnp.sum(xf, axis=0, keepdims=True)          # (1, C)
+    ss = jnp.sum(xf * xf, axis=0, keepdims=True)    # (1, C)
+
+    chan_group = jax.lax.broadcasted_iota(jnp.int32, (C, groups), 0) // cg
+    group_ids = jax.lax.broadcasted_iota(jnp.int32, (C, groups), 1)
+    M = (chan_group == group_ids).astype(jnp.float32)  # (C, G) one-hot
+
+    count = float(H * W * cg)
+    mean_g = jnp.dot(s, M, preferred_element_type=jnp.float32) / count      # (1, G)
+    ex2_g = jnp.dot(ss, M, preferred_element_type=jnp.float32) / count
+    inv_g = jax.lax.rsqrt(ex2_g - mean_g * mean_g + eps)                    # (1, G)
+
+    mean_c = jnp.dot(mean_g, M.T, preferred_element_type=jnp.float32)       # (1, C)
+    inv_c = jnp.dot(inv_g, M.T, preferred_element_type=jnp.float32)         # (1, C)
+
+    y = (xf - mean_c) * inv_c * scale_ref[0].astype(jnp.float32) + bias_ref[0].astype(jnp.float32)
+    o_ref[0] = y.reshape(H, W, C).astype(o_ref.dtype)
 
 
 def _on_tpu() -> bool:
