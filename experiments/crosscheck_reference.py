@@ -152,5 +152,51 @@ def main():
           f"bs equal = {bool(jnp.all(r_out[2] == o_out[2]))}")
 
 
+def extra_checks():
+    """pMCMC kernel and gibbs_init agreement."""
+    sys.path.insert(0, REF)
+    m = _model()
+    key = jax.random.PRNGKey(31)
+    nparticles = 16
+
+    from fbs.samplers.smc import pmcmc_kernel as ref_pmcmc
+    from fbs.samplers.resampling import stratified as ref_strat
+    from fbs_tpu.samplers import pmcmc_kernel, stratified
+
+    def ref_sampler(key_, yT, n):
+        return jax.random.normal(key_, (n, 1))
+
+    def fwd_ys_sampler(key_, y0_):
+        from fbs_tpu.sdes import make_linear_sde
+        _, _, sim = make_linear_sde(m["sde"])
+        return sim(key_, y0_, m["ts"])
+
+    uT = jnp.array([0.2])
+    ys = fwd_ys_sampler(jax.random.PRNGKey(5), m["y0"])
+    common = dict(y0=m["y0"], ts=m["ts"], fwd_ys_sampler=fwd_ys_sampler, sde=m["sde"],
+                  ref_sampler=ref_sampler, transition_sampler=m["transition_sampler"],
+                  likelihood_logpdf=m["likelihood_logpdf"], nparticles=nparticles,
+                  delta=0.1)
+    r = ref_pmcmc(key, uT, 0.0, ys, resampling=ref_strat, **common)
+    o = pmcmc_kernel(key, uT, 0.0, ys, resampling=stratified, **common)
+    print(f"pmcmc_kernel: max |uT diff| = {float(jnp.max(jnp.abs(r[0] - o[0]))):.3e}, "
+          f"|log_ell diff| = {float(jnp.abs(r[1] - o[1])):.3e}, "
+          f"max |ys diff| = {float(jnp.max(jnp.abs(r[2] - o[2]))):.3e}")
+
+    from fbs.samplers import gibbs_init as ref_init
+    from fbs_tpu.samplers import gibbs_init
+
+    common = dict(x0_shape=(1,), ts=m["ts"], fwd_sampler=m["fwd_sampler"], sde=m["sde"],
+                  unpack=m["unpack"], transition_sampler=m["transition_sampler"],
+                  transition_logpdf=m["transition_logpdf"],
+                  likelihood_logpdf=m["likelihood_logpdf"], nparticles=nparticles,
+                  method="smoother", marg_y=False)
+    rx, rus = ref_init(key, m["y0"], **common)
+    ox, ous = gibbs_init(key, m["y0"], **common)
+    print(f"gibbs_init: max |x0 diff| = {float(jnp.max(jnp.abs(rx - ox))):.3e}, "
+          f"max |us_star diff| = {float(jnp.max(jnp.abs(rus - ous))):.3e}")
+
+
 if __name__ == "__main__":
     main()
+    extra_checks()
