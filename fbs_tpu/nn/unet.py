@@ -45,7 +45,13 @@ def default_compute_dtype() -> Any:
 class WSConv(nn.Module):
     """3x3 (by default) convolution with weight standardisation
     (Qiao et al. 2019); the standardisation is computed in f32 regardless of
-    the compute dtype."""
+    the compute dtype.
+
+    Accepts either a single array or a list of arrays to be treated as a
+    channel concatenation: ``conv(concat(parts), K) == sum_i conv(part_i,
+    K[..., offset_i:offset_i+c_i, :])``, so skip connections never
+    materialise the concatenated buffer (the TPU profile shows concat copies
+    are a top cost).  The parameter layout is identical either way."""
     features: int
     kernel_size: Tuple[int, int] = (3, 3)
     padding: Any = 1
@@ -53,26 +59,34 @@ class WSConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        parts = x if isinstance(x, (list, tuple)) else [x]
+        cin = sum(p.shape[-1] for p in parts)
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
-            (*self.kernel_size, x.shape[-1], self.features))
+            (*self.kernel_size, cin, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
 
         eps = 1e-5
         redux = tuple(range(kernel.ndim - 1))
         mean = jnp.mean(kernel, axis=redux, keepdims=True)
         var = jnp.var(kernel, axis=redux, keepdims=True)
-        kernel = (kernel - mean) * jax.lax.rsqrt(var + eps)
+        kernel = ((kernel - mean) * jax.lax.rsqrt(var + eps)).astype(self.dtype)
 
         # Uniform compute dtype (no preferred_element_type: its conv VJP
         # produces mixed-dtype transposed convs, which lax rejects).  TPU
         # accumulates bf16 convs in f32 internally regardless.
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), kernel.astype(self.dtype),
-            window_strides=(1, 1),
-            padding=[(self.padding, self.padding)] * 2,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = None
+        offset = 0
+        for p in parts:
+            c = p.shape[-1]
+            yk = jax.lax.conv_general_dilated(
+                p.astype(self.dtype), kernel[:, :, offset:offset + c, :],
+                window_strides=(1, 1),
+                padding=[(self.padding, self.padding)] * 2,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = yk if y is None else y + yk
+            offset += c
         return y + bias.astype(self.dtype)
 
 
@@ -107,13 +121,18 @@ class ResBlock(nn.Module):
     fused_norms: bool = False
 
     @nn.compact
-    def __call__(self, x, time_emb):
+    def __call__(self, x, time_emb, skip=None):
+        """``skip`` is an optional second input treated as channel-concatenated
+        with ``x`` — but never materialised as a concat (see WSConv)."""
         def norm(name):
             if self.fused_norms:
                 return FusedGroupNorm(num_groups=self.groups, name=name)
             return nn.GroupNorm(num_groups=self.groups, dtype=self.dtype, name=name)
 
-        h = WSConv(self.dim, dtype=self.dtype)(x)
+        parts = [x] if skip is None else [x, skip]
+        cin = sum(p.shape[-1] for p in parts)
+
+        h = WSConv(self.dim, dtype=self.dtype)(parts)
         h = norm("GroupNorm_0")(h)
 
         emb = nn.Dense(2 * self.dim, dtype=self.dtype)(nn.swish(time_emb))
@@ -124,9 +143,26 @@ class ResBlock(nn.Module):
         h = WSConv(self.dim, dtype=self.dtype)(h)
         h = nn.swish(norm("GroupNorm_1")(h))
 
-        if x.shape[-1] != self.dim:
-            x = nn.Conv(self.dim, kernel_size=(1, 1), dtype=self.dtype)(x)
-        return (x.astype(self.dtype) + h).astype(jnp.float32)
+        if cin != self.dim:
+            # 1x1 shortcut over the (logical) concat, also split per part.
+            kernel = self.param("shortcut_kernel", nn.initializers.lecun_normal(),
+                                (1, 1, cin, self.dim))
+            bias = self.param("shortcut_bias", nn.initializers.zeros, (self.dim,))
+            res = None
+            offset = 0
+            for p in parts:
+                c = p.shape[-1]
+                rk = jax.lax.conv_general_dilated(
+                    p.astype(self.dtype),
+                    kernel[:, :, offset:offset + c, :].astype(self.dtype),
+                    window_strides=(1, 1), padding="VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                res = rk if res is None else res + rk
+                offset += c
+            res = res + bias.astype(self.dtype)
+        else:
+            res = x.astype(self.dtype)
+        return (res + h).astype(jnp.float32)
 
 
 def _split_heads(t, heads):
@@ -356,24 +392,23 @@ class UNet(nn.Module):
             dim_in = self.dim * self.dim_mults[ind]
             dim_out = self.dim * self.dim_mults[ind - 1] if ind > 0 else init_dim
 
-            h = jnp.concatenate([h, hs.pop()], axis=-1)
+            # Skip connections feed the blocks as separate parts — the concat
+            # buffer is never materialised (WSConv splits the kernel).
             h = ResBlock(dim=dim_in, groups=self.resnet_block_groups, dtype=dtype,
                          fused_norms=self.fused_norms,
-                         name=f"up_{ind}_res0")(h, t_emb)
-            h = jnp.concatenate([h, hs.pop()], axis=-1)
+                         name=f"up_{ind}_res0")(h, t_emb, skip=hs.pop())
             h = ResBlock(dim=dim_in, groups=self.resnet_block_groups, dtype=dtype,
                          fused_norms=self.fused_norms,
-                         name=f"up_{ind}_res1")(h, t_emb)
+                         name=f"up_{ind}_res1")(h, t_emb, skip=hs.pop())
             h = AttnGate(linear=True, dtype=dtype, name=f"up_{ind}_attn")(h)
             if ind > 0:
                 h = Upsample(dim=dim_out, method=self.upsampling, dtype=dtype,
                              name=f"up_{ind}_us")(h)
 
         h = nn.Conv(init_dim, kernel_size=(3, 3), padding=1, dtype=dtype, name="head_proj")(h)
-        h = jnp.concatenate([h, hs.pop()], axis=-1)
         out = ResBlock(dim=self.dim, groups=self.resnet_block_groups, dtype=dtype,
-                         fused_norms=self.fused_norms,
-                       name="final_res")(h, t_emb)
+                       fused_norms=self.fused_norms,
+                       name="final_res")(h, t_emb, skip=hs.pop())
 
         out_dim = C if self.out_dim is None else self.out_dim
         out = nn.Conv(out_dim, kernel_size=(1, 1), dtype=dtype, name="head")(out)

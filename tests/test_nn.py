@@ -110,3 +110,22 @@ def test_unet_bf16_training_grads():
     leaves = jax.tree.leaves(g)
     assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
     assert any(float(jnp.max(jnp.abs(l))) > 0 for l in leaves)
+
+
+def test_resblock_split_skip_equals_concat():
+    """Feeding the skip as a separate part equals the concatenated input
+    exactly (conv linearity over channel slices), with shared parameters."""
+    from fbs_tpu.nn.unet import ResBlock
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 8, 8, 12))
+    s = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 4))
+    temb = jax.random.normal(jax.random.PRNGKey(2), (2, 32))
+
+    block = ResBlock(dim=8)
+    variables = block.init(jax.random.PRNGKey(3), x, temb, skip=s)
+
+    out_split = block.apply(variables, x, temb, skip=s)
+    out_concat = block.apply(variables, jnp.concatenate([x, s], axis=-1), temb)
+    npt.assert_allclose(np.asarray(out_split), np.asarray(out_concat),
+                        rtol=1e-5, atol=1e-6)
