@@ -10,12 +10,14 @@ full attention in the bottleneck, resize or pixel-shuffle upsampling,
 TPU-first choices (not in the reference):
 
 - ``compute_dtype`` (default bfloat16 on TPU via :func:`default_compute_dtype`)
-  runs all convs/matmuls on the MXU in bf16 while keeping parameters and
-  normalisation statistics in f32; attention logits accumulate in f32 via
-  ``preferred_element_type``.
+  runs convs/matmuls on the MXU in bf16 (f32 accumulation on TPU hardware)
+  while keeping parameters and normalisation statistics in f32; attention
+  softmax runs in f32.
 - Attention is written with plain reshapes + ``jax.lax.dot_general`` (batched
   over heads) rather than einops einsum strings, so XLA sees canonical
   dot-generals it can tile onto the 128x128 systolic array.
+- Skip connections are concat-free: the consuming convs split their kernels
+  over the parts (identical parameters/math, no concatenated buffers).
 - NHWC layout throughout (flax/XLA-TPU native).
 - Unbatched inputs are detected by rank, not by ``B == 1`` (the reference
   squeezes genuine batches of one, ``fbs/nn/unet.py:365-368``).
