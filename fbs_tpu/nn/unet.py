@@ -111,6 +111,16 @@ class FusedGroupNorm(nn.Module):
                                 eps=self.epsilon)
 
 
+class _NormParams(nn.Module):
+    """Declares GroupNorm-compatible affine params for the fused-norm path."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.features,)),
+                self.param("bias", nn.initializers.zeros, (self.features,)))
+
+
 class ResBlock(nn.Module):
     """WSConv-GroupNorm residual block with time-FiLM scale/shift.
 
@@ -126,24 +136,38 @@ class ResBlock(nn.Module):
     def __call__(self, x, time_emb, skip=None):
         """``skip`` is an optional second input treated as channel-concatenated
         with ``x`` — but never materialised as a concat (see WSConv)."""
-        def norm(name):
-            if self.fused_norms:
-                return FusedGroupNorm(num_groups=self.groups, name=name)
-            return nn.GroupNorm(num_groups=self.groups, dtype=self.dtype, name=name)
-
         parts = [x] if skip is None else [x, skip]
         cin = sum(p.shape[-1] for p in parts)
 
-        h = WSConv(self.dim, dtype=self.dtype)(parts)
-        h = norm("GroupNorm_0")(h)
+        if self.fused_norms:
+            # One-kernel GroupNorm+FiLM+swish on the sampling path
+            # (fbs_tpu.ops.norm_film_pallas); parameter paths match
+            # nn.GroupNorm so checkpoints interoperate.
+            from fbs_tpu.ops.norm_film_pallas import fused_group_norm_film_swish
 
-        emb = nn.Dense(2 * self.dim, dtype=self.dtype)(nn.swish(time_emb))
-        scale, shift = jnp.split(emb[:, None, None, :], 2, axis=-1)
-        h = h * (1.0 + scale) + shift
-        h = nn.swish(h)
+            h = WSConv(self.dim, dtype=self.dtype)(parts)
+            scale0, bias0 = _NormParams(self.dim, name="GroupNorm_0")()
+            emb = nn.Dense(2 * self.dim, dtype=self.dtype)(nn.swish(time_emb))
+            fs, fb = jnp.split(emb, 2, axis=-1)
+            h = fused_group_norm_film_swish(h, scale0, bias0, fs, fb,
+                                            groups=self.groups, swish=True)
+            h = WSConv(self.dim, dtype=self.dtype)(h)
+            scale1, bias1 = _NormParams(self.dim, name="GroupNorm_1")()
+            h = fused_group_norm_film_swish(h, scale1, bias1, None, None,
+                                            groups=self.groups, swish=True)
+        else:
+            h = WSConv(self.dim, dtype=self.dtype)(parts)
+            h = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype,
+                             name="GroupNorm_0")(h)
 
-        h = WSConv(self.dim, dtype=self.dtype)(h)
-        h = nn.swish(norm("GroupNorm_1")(h))
+            emb = nn.Dense(2 * self.dim, dtype=self.dtype)(nn.swish(time_emb))
+            scale, shift = jnp.split(emb[:, None, None, :], 2, axis=-1)
+            h = h * (1.0 + scale) + shift
+            h = nn.swish(h)
+
+            h = WSConv(self.dim, dtype=self.dtype)(h)
+            h = nn.swish(nn.GroupNorm(num_groups=self.groups, dtype=self.dtype,
+                                      name="GroupNorm_1")(h))
 
         if cin != self.dim:
             # 1x1 shortcut over the (logical) concat, also split per part.
