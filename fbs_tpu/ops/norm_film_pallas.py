@@ -106,20 +106,38 @@ def fused_group_norm_film_swish(x: JArray, scale: JArray, bias: JArray,
         film_scale = jnp.zeros((B, C), x.dtype)
         film_shift = jnp.zeros((B, C), x.dtype)
 
+    # Batch-chunked grid: per-image stats are independent, so the grid just
+    # tiles the batch.  Chunk size bounded by the 16 MB scoped-VMEM budget
+    # (chunk * HW * C f32 intermediates dominate).
+    budget = 3 * 1024 * 1024  # conservative f32-element budget per chunk
+    bb = max(1, min(B, budget // (HW * C)))
+    pad = (-B) % bb
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, H, W, C), x.dtype)], axis=0)
+        film_scale = jnp.concatenate(
+            [film_scale, jnp.zeros((pad, C), film_scale.dtype)], axis=0)
+        film_shift = jnp.concatenate(
+            [film_shift, jnp.zeros((pad, C), film_shift.dtype)], axis=0)
+    Bp = B + pad
+
     kernel = functools.partial(_kernel, groups=groups, eps=eps,
                                swish=swish, film=film)
     out = pl.pallas_call(
         kernel,
+        grid=(Bp // bb,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # (B, HW, C)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # (1, C)
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # (B, C)
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, HW, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, HW, C), x.dtype),
+        out_specs=pl.BlockSpec((bb, HW, C), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, HW, C), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
         interpret=interpret or not _on_tpu(),
-    )(x.reshape(B, HW, C), scale.reshape(1, C), bias.reshape(1, C),
+    )(x.reshape(Bp, HW, C), scale.reshape(1, C), bias.reshape(1, C),
       film_scale, film_shift)
-    return out.reshape(B, H, W, C)
+    return out[:B].reshape(B, H, W, C)
