@@ -110,7 +110,8 @@ def fused_group_norm_film_swish(x: JArray, scale: JArray, bias: JArray,
     # tiles the batch.  Chunk size bounded by the 16 MB scoped-VMEM budget
     # (chunk * HW * C f32 intermediates dominate).
     budget = 3 * 1024 * 1024  # conservative f32-element budget per chunk
-    bb = max(1, min(B, budget // (HW * C)))
+    bb = max(8, (budget // (HW * C)) // 8 * 8)  # sublane dim must be 8-aligned
+    bb = min(bb, max(8, -(-B // 8) * 8))
     pad = (-B) % bb
     if pad:
         x = jnp.concatenate([x, jnp.zeros((pad, H, W, C), x.dtype)], axis=0)
