@@ -109,7 +109,10 @@ def fused_group_norm_film_swish(x: JArray, scale: JArray, bias: JArray,
     # Batch-chunked grid: per-image stats are independent, so the grid just
     # tiles the batch.  Chunk size bounded by the 16 MB scoped-VMEM budget
     # (chunk * HW * C f32 intermediates dominate).
-    budget = 3 * 1024 * 1024  # conservative f32-element budget per chunk
+    # Elements per chunk: pallas double-buffers in+out blocks and the kernel
+    # materialises ~2 f32 temporaries, so total VMEM ~ 16x this in bytes;
+    # keep well under the 16 MB scoped budget.
+    budget = 640 * 1024
     bb = max(8, (budget // (HW * C)) // 8 * 8)  # sublane dim must be 8-aligned
     bb = min(bb, max(8, -(-B // 8) * 8))
     pad = (-B) % bb
