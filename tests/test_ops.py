@@ -96,3 +96,25 @@ def test_unet_fused_norms_matches_plain():
     out_fused = fused.apply(variables, x, t)  # same params must fit
     npt.assert_allclose(np.asarray(out_fused), np.asarray(out_plain),
                         rtol=2e-4, atol=2e-4)
+
+
+def test_norm_film_swish_kernel_matches_reference():
+    """v2 fused norm kernel (batch-chunked, with padding) matches the plain
+    formulation exactly; exercises the non-divisible-batch padding path."""
+    from fbs_tpu.ops.norm_film_pallas import fused_group_norm_film_swish, _reference
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (13, 12, 12, 16))
+    scale = jax.random.normal(jax.random.PRNGKey(1), (16,)) * 0.1 + 1.0
+    bias = jax.random.normal(jax.random.PRNGKey(2), (16,)) * 0.1
+    fs = jax.random.normal(jax.random.PRNGKey(3), (13, 16)) * 0.2
+    fb = jax.random.normal(jax.random.PRNGKey(4), (13, 16)) * 0.2
+
+    for film, sw in [(False, False), (True, True)]:
+        got = fused_group_norm_film_swish(x, scale, bias,
+                                          fs if film else None,
+                                          fb if film else None,
+                                          groups=4, swish=sw, interpret=True)
+        ref = _reference(x, scale, bias, fs if film else None,
+                         fb if film else None, 4, 1e-6, sw)
+        npt.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
