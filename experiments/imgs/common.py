@@ -27,6 +27,8 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--start_from", type=int, default=0)
     p.add_argument("--nparticles", type=int, default=100)
     p.add_argument("--nsamples", type=int, default=10)
+    p.add_argument("--unet_dim", type=int, default=64,
+                   help="Base channel count of the score UNet (64 of record).")
     p.add_argument("--bf16", action="store_true", default=False,
                    help="Run the score UNet in bfloat16 on the MXU.")
     p.add_argument("--no_fused", action="store_true", default=False,
@@ -70,7 +72,8 @@ def load_score_network(args, key, image_shape, T: float):
     from fbs_tpu.nn import UNet, make_st_nn, default_compute_dtype
 
     dtype = default_compute_dtype() if args.bf16 else jnp.float32
-    unet = UNet(dt=T / 200, dim=64, upsampling="pixel_shuffle", compute_dtype=dtype)
+    unet = UNet(dt=T / 200, dim=args.unet_dim, upsampling="pixel_shuffle",
+                compute_dtype=dtype)
     _, _, nn_score = make_st_nn(key, unet, image_shape, batch_size=2)
 
     filename = f"./checkpoints/{args.dataset}_{args.sde}_{args.test_epoch}.npz"
@@ -111,3 +114,86 @@ def save_image(path: str, img, nchannels: int):
     img = normalise(img, method="clip")
     plt.imsave(path, np.asarray(img[..., 0] if nchannels == 1 else img),
                cmap="gray" if nchannels == 1 else "viridis")
+
+
+def run_restoration(args, task: str, results_dir: str, size_tag) -> None:
+    """Shared conditional-sampling loop for inpainting and super-resolution.
+
+    Mirrors the reference's per-y0 artifact contract
+    (``/root/reference/experiments/imgs/inpainting.py:205-264``): per-iteration
+    PNGs, a ``<head>-true.npz`` with the clean image under ``test_img`` plus
+    the mask arrays (positional), a ``<head>-gibbs-init`` npy+png, and the
+    ``<head>-<method>.npy`` sample stack consumed by
+    ``tabulators/tabulate_imgs.py``.
+    """
+    sampler, dataset, (key, data_key), resolution, nchannels = build_sampler(args, task)
+    if getattr(args, "sr_random", None) is not None:
+        dataset.sr_random = args.sr_random
+    nsteps = args.test_nsteps
+    nsamples = args.nsamples
+
+    delta = None
+    if "pmcmc" in args.method and len(args.method.split("-")) > 1:
+        delta = float(args.method.split("-")[-1])
+    eb = "eb" in args.method
+    ef = "ef" in args.method
+
+    for k in range(args.ny0s):
+        data_key, subkey = jax.random.split(data_key)
+        if k < args.start_from:
+            continue
+        print(f"Running conditional sampler for {k}-th test sample.")
+        test_img, test_y0, mask = dataset.sampler(subkey)
+        head = f"{results_dir}/{args.dataset}-{size_tag}-{args.sde}-{args.nparticles}-{k}"
+        save_image(head + "-true.png", test_img, nchannels)
+        np.savez(head + "-true", *[np.asarray(m) for m in mask],
+                 test_img=np.asarray(test_img))
+        save_image(head + "-corrupt.png",
+                   dataset.concat(jnp.zeros(dataset.unobs_shape), test_y0, mask),
+                   nchannels)
+
+        restored_imgs = np.zeros((nsamples, resolution, resolution, nchannels))
+
+        if args.method == "filter":
+            for i in range(nsamples):
+                key, subkey = jax.random.split(key)
+                x0, _ = sampler.filter_init(subkey, test_y0, mask, marg_y=args.marg)
+                restored = dataset.concat(x0, test_y0, mask)
+                restored_imgs[i] = restored
+                save_image(head + f"-filter-{i}.png", restored, nchannels)
+                print(f"{task} | filter | iter: {i}")
+            np.save(head + "-filter", restored_imgs)
+        elif "gibbs" in args.method:
+            key, subkey = jax.random.split(key)
+            x0, us_star = sampler.gibbs_init(subkey, test_y0, mask,
+                                             method=args.init_method, marg_y=args.marg)
+            bs_star = jnp.zeros((nsteps + 1,), dtype=int)
+            restored = dataset.concat(x0, test_y0, mask)
+            save_image(head + "-gibbs-init.png", restored, nchannels)
+            np.save(head + "-gibbs-init", np.asarray(restored))
+            for i in range(nsamples):
+                key, subkey = jax.random.split(key)
+                x0, us_star, bs_star, acc = sampler.gibbs_step(
+                    subkey, x0, test_y0, us_star, bs_star, mask,
+                    explicit_backward=eb, explicit_final=ef, marg_y=args.marg)
+                restored = dataset.concat(x0, test_y0, mask)
+                restored_imgs[i] = restored
+                save_image(head + f"-{args.method}-{i}.png", restored, nchannels)
+                print(f"{task} | Gibbs | iter: {i}, acc: {jnp.mean(acc):.3f}")
+            np.save(head + f"-{args.method}", restored_imgs)
+        elif "pmcmc" in args.method:
+            key, subkey = jax.random.split(key)
+            x0, log_ell = jnp.zeros(dataset.unobs_shape), 0.0
+            ys = sampler.fwd_ys_sampler(subkey, test_y0)
+            for i in range(nsamples):
+                key, subkey = jax.random.split(key)
+                x0, log_ell, ys, state = sampler.pmcmc_step(subkey, x0, log_ell, ys,
+                                                            test_y0, mask, delta=delta)
+                restored = dataset.concat(x0, test_y0, mask)
+                restored_imgs[i] = restored
+                save_image(head + f"-pmcmc-{delta}-{i}.png", restored, nchannels)
+                print(f"{task} | pMCMC {delta} | iter: {i}, "
+                      f"acc_prob: {float(state.acceptance_prob):.3f}")
+            np.save(head + f"-pmcmc-{delta}", restored_imgs)
+        else:
+            raise ValueError(f"Unknown method {args.method}")

@@ -126,8 +126,8 @@ class MNIST(Image):
                  test: bool = False):
         data_dict = jnp.load(data_path)
         self.task = task
-        self.n = 10000 if test else 60000
         xs = data_dict["X_test" if test else "X"]
+        self.n = xs.shape[0]  # 10000/60000 of record; derived so subsets work
         xs = jax.random.permutation(key, xs, axis=0)
         xs = jnp.reshape(xs, (self.n, 28, 28, 1))
         self.xs = self.standardise(xs).astype("float32")
@@ -139,8 +139,8 @@ class CIFAR10(Image):
                  test: bool = False):
         data_dict = jnp.load(data_path)
         self.task = task
-        self.n = 10000 if test else 50000
         xs = data_dict["test_data" if test else "train_data"]
+        self.n = xs.shape[0]  # 10000/50000 of record; derived so subsets work
         xs = jax.random.permutation(key, xs, axis=0)
         self.xs = self.standardise(jnp.reshape(xs, (self.n, 32, 32, 3)))
         self.image_shape = (32, 32, 3)
@@ -153,10 +153,9 @@ class CelebAHQ(Image):
         data = jnp.load(data_path)
         data = jax.random.permutation(key, data, axis=0)
         data = self.standardise(data)
-        if test:
-            self.n, self.xs = 1000, data[:1000]
-        else:
-            self.n, self.xs = 29000, data[1000:]
+        ntest = min(1000, max(1, data.shape[0] // 2))
+        self.xs = data[:ntest] if test else data[ntest:]
+        self.n = self.xs.shape[0]
         self.image_shape = (resolution, resolution, 3)
 
 
@@ -303,8 +302,8 @@ class MNISTRestore(ImageRestore):
                  test: bool = False):
         data_dict = jnp.load(data_path)
         self.task = task
-        self.n = 10000 if test else 60000
         xs = data_dict["X_test" if test else "X"]
+        self.n = xs.shape[0]  # 10000/60000 of record; derived so subsets work
         xs = jax.random.permutation(key, xs, axis=0)
         xs = jnp.reshape(xs, (self.n, 28, 28, 1))
         self.xs = self.standardise(xs).astype("float32")
@@ -318,10 +317,9 @@ class CelebAHQRestore(ImageRestore):
         data = jnp.load(data_path)
         data = jax.random.permutation(key, data, axis=0)
         data = self.standardise(data).astype("float32")
-        if test:
-            self.n, self.xs = 1000, data[:1000]
-        else:
-            self.n, self.xs = 29000, data[1000:]
+        ntest = min(1000, max(1, data.shape[0] // 2))
+        self.xs = data[:ntest] if test else data[ntest:]
+        self.n = self.xs.shape[0]
         super().__init__(task, (resolution, resolution, 3))
 
 

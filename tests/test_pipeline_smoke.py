@@ -1,0 +1,67 @@
+"""End-to-end artifact-contract smoke test.
+
+Runs the real ``experiments/imgs/inpainting.py`` entry point on a tiny
+synthetic dataset + randomly initialised checkpoint, then feeds its artifacts
+to ``experiments/tabulators/tabulate_imgs.py`` and asserts a PSNR/SSIM row
+comes out — the contract the reference establishes at
+``/root/reference/experiments/imgs/inpainting.py:215-216`` (``-true.npz``)
+and consumes at ``/root/reference/experiments/tabulators/tabulate_imgs.py:30-80``.
+"""
+import os
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+
+def _run_main(module, argv):
+    old = sys.argv
+    sys.argv = [module.__file__] + argv
+    try:
+        module.main()
+    finally:
+        sys.argv = old
+
+
+@pytest.mark.parametrize("method", ["gibbs-eb"])
+def test_inpainting_then_tabulate(tmp_path, monkeypatch, capsys, method):
+    from fbs_tpu.nn import UNet, make_st_nn
+
+    monkeypatch.chdir(tmp_path)
+
+    # Tiny dataset in the reference mnist.npz layout (X/X_test, (n, 784)).
+    os.makedirs("datasets")
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(0.0, 1.0, (8, 784)).astype(np.float32)
+    np.savez("datasets/mnist.npz", X=imgs, X_test=imgs)
+
+    # Randomly initialised checkpoint matching the script's UNet config.
+    os.makedirs("checkpoints")
+    unet = UNet(dt=2.0 / 200, dim=8, upsampling="pixel_shuffle")
+    param, _, _ = make_st_nn(jax.random.PRNGKey(0), unet, (28, 28, 1), batch_size=2)
+    np.savez("checkpoints/mnist_lin_0.npz", param=np.asarray(param),
+             ema_param=np.asarray(param))
+
+    from experiments.imgs import inpainting
+    _run_main(inpainting, [
+        "--ny0s", "1", "--nsamples", "2", "--test_nsteps", "4",
+        "--nparticles", "4", "--unet_dim", "8", "--test_epoch", "0",
+        "--method", method,
+    ])
+
+    head = f"./imgs/results_inpainting/mnist-15-lin-4-0"
+    truth = np.load(head + "-true.npz")
+    assert truth["test_img"].shape == (28, 28, 1)
+    assert os.path.exists(head + f"-{method}.npy")
+    assert os.path.exists(head + "-gibbs-init.npy")
+    assert np.load(head + f"-{method}.npy").shape == (2, 28, 28, 1)
+
+    from experiments.tabulators import tabulate_imgs
+    capsys.readouterr()
+    _run_main(tabulate_imgs, [
+        "--task", "inpainting", "--dataset", "mnist", "--size", "15",
+        "--nparticles", "4", "--method", method, "--ny0s", "1",
+    ])
+    out = capsys.readouterr().out
+    assert "PSNR" in out and "SSIM" in out, out
