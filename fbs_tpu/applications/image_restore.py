@@ -109,45 +109,21 @@ class RestorationSampler:
         return self.sde.dispersion(self.T - t)
 
     def _build_closures(self):
-        dataset, dt, T = self.dataset, self.dt, self.T
-        reverse_drift = self.reverse_drift
-        reverse_dispersion = self.reverse_dispersion
+        from fbs_tpu.samplers.kernels import make_separable_kernels
 
-        def _drift_parts(us_prev, v_prev, t_prev, mask_):
+        dataset, dt = self.dataset, self.dt
+
+        def concat_batched(us_prev, v_prev, mask_):
             vs = jnp.broadcast_to(v_prev, (us_prev.shape[0], *v_prev.shape))
-            joint = dataset.concat(us_prev, vs, mask_)
-            drift = reverse_drift(joint, t_prev)
+            return dataset.concat(us_prev, vs, mask_)
+
+        def unpack_batched(drift, mask_):
             return dataset.unpack(drift, mask_)
 
-        def _logpdf(x, mean, std):
-            z = (x - mean) / std
-            axes = tuple(range(1, mean.ndim))
-            return jnp.sum(-0.5 * z ** 2 - jnp.log(std) - 0.5 * math.log(2 * math.pi),
-                           axis=axes)
-
-        def transition_sampler(us_prev, v_prev, t_prev, key_, mask_):
-            drift_u, _ = _drift_parts(us_prev, v_prev, t_prev, mask_)
-            g = reverse_dispersion(t_prev)
-            return (us_prev + drift_u * dt
-                    + jnp.sqrt(dt) * g * jax.random.normal(key_, us_prev.shape))
-
-        def transition_logpdf(u, us_prev, v_prev, t_prev, mask_):
-            drift_u, _ = _drift_parts(us_prev, v_prev, t_prev, mask_)
-            g = reverse_dispersion(t_prev)
-            return _logpdf(u, us_prev + drift_u * dt, jnp.sqrt(dt) * g)
-
-        def likelihood_logpdf(v, us_prev, v_prev, t_prev, mask_):
-            _, drift_v = _drift_parts(us_prev, v_prev, t_prev, mask_)
-            g = reverse_dispersion(t_prev)
-            return _logpdf(v, v_prev + drift_v * dt, jnp.sqrt(dt) * g)
-
-        def fused_kernel(us_prev, v, v_prev, t_prev, key_, mask_):
-            drift_u, drift_v = _drift_parts(us_prev, v_prev, t_prev, mask_)
-            g = reverse_dispersion(t_prev)
-            sq = jnp.sqrt(dt) * g
-            us = us_prev + drift_u * dt + sq * jax.random.normal(key_, us_prev.shape)
-            log_ws = _logpdf(v, v_prev + drift_v * dt, sq)
-            return us, log_ws
+        (transition_sampler, transition_logpdf,
+         likelihood_logpdf, fused_kernel) = make_separable_kernels(
+            self.reverse_drift, self.reverse_dispersion,
+            concat_batched, unpack_batched, dt)
 
         if self.mesh is not None:
             from fbs_tpu.parallel import shard_particle_closures, shard_fused_kernel

@@ -24,7 +24,7 @@ where ``(f_u, f_v)`` are the unpacked halves of the joint reverse drift.
 from __future__ import annotations
 
 import math
-from typing import Callable
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -54,12 +54,16 @@ def make_separable_kernels(reverse_drift_joint: Callable,
         network evaluated on the re-assembled full state.
     reverse_dispersion : Callable () -> ()
         Scalar dispersion of the reverse SDE at time ``t``.
-    concat : Callable (n, ...du), (...dv) -> (n, ...joint)
+    concat : Callable (n, ...du), (...dv), **kwargs -> (n, ...joint)
         Re-assemble the joint state from the u-batch and a broadcast v.
-    unpack : Callable (n, ...joint) -> ((n, ...du), (n, ...dv))
+    unpack : Callable (n, ...joint), **kwargs -> ((n, ...du), (n, ...dv))
         Split a joint-state batch back into the u and v parts.
     dt : float
         The (uniform) time step of the sampler grid.
+
+    Extra keyword arguments given to the returned closures (e.g. a ``mask_``
+    identifying per-observation index sets, as in the image-restoration
+    tasks) are forwarded to ``concat``/``unpack``.
 
     Returns
     -------
@@ -69,26 +73,26 @@ def make_separable_kernels(reverse_drift_joint: Callable,
     the likelihood weights.
     """
 
-    def _joint_drift_parts(us_prev, v_prev, t_prev):
-        joint = concat(us_prev, v_prev)
+    def _joint_drift_parts(us_prev, v_prev, t_prev, kwargs):
+        joint = concat(us_prev, v_prev, **kwargs)
         drift = reverse_drift_joint(joint, t_prev)
-        return unpack(drift)
+        return unpack(drift, **kwargs)
 
     def transition_sampler(us_prev, v_prev, t_prev, key, **kwargs):
-        drift_u, _ = _joint_drift_parts(us_prev, v_prev, t_prev)
+        drift_u, _ = _joint_drift_parts(us_prev, v_prev, t_prev, kwargs)
         g = reverse_dispersion(t_prev)
         return (us_prev + drift_u * dt
                 + jnp.sqrt(dt) * g * jax.random.normal(key, us_prev.shape))
 
     def transition_logpdf(u, us_prev, v_prev, t_prev, **kwargs):
-        drift_u, _ = _joint_drift_parts(us_prev, v_prev, t_prev)
+        drift_u, _ = _joint_drift_parts(us_prev, v_prev, t_prev, kwargs)
         g = reverse_dispersion(t_prev)
         mean = us_prev + drift_u * dt
         sum_axes = tuple(range(1, us_prev.ndim))
         return _gaussian_logpdf(u, mean, jnp.sqrt(dt) * g, sum_axes)
 
     def likelihood_logpdf(v, us_prev, v_prev, t_prev, **kwargs):
-        _, drift_v = _joint_drift_parts(us_prev, v_prev, t_prev)
+        _, drift_v = _joint_drift_parts(us_prev, v_prev, t_prev, kwargs)
         g = reverse_dispersion(t_prev)
         mean = v_prev + drift_v * dt
         sum_axes = tuple(range(1, mean.ndim))
@@ -96,7 +100,7 @@ def make_separable_kernels(reverse_drift_joint: Callable,
 
     def fused_kernel(us_prev, v, v_prev, t_prev, key, **kwargs):
         """One drift evaluation shared by proposal and likelihood."""
-        drift_u, drift_v = _joint_drift_parts(us_prev, v_prev, t_prev)
+        drift_u, drift_v = _joint_drift_parts(us_prev, v_prev, t_prev, kwargs)
         g = reverse_dispersion(t_prev)
         sqdt_g = jnp.sqrt(dt) * g
 
