@@ -336,8 +336,11 @@ class RestorationSampler:
             return -self.sde.drift(u, T - t) + self.sde.dispersion(T - t) ** 2 * score_u
 
         def sampler(key_, y, mask_):
-            key_init, key_scan, key_est = jax.random.split(key_, 3)
+            # Key stream mirrors the reference script
+            # (``experiments/imgs/inpainting_csgm.py:101-119``) call-for-call.
+            key_init, key_sde = jax.random.split(key_, 2)
             u0 = jax.random.normal(key_init, self.x_shape)
+            key_scan, key_est = jax.random.split(key_sde)
             key_ests = jax.random.split(key_est, num=self.nsteps)
             rnds = jax.random.normal(key_scan, (self.nsteps, *self.x_shape))
 

@@ -59,7 +59,10 @@ def killing(weights: JArray, key: JKey) -> JArray:
     ``w_k / max(w)``, replace killed particles by categorical draws.  Leaves
     indices in place under uniform weights (low-variance for MCMC-within-SMC).
     """
-    key_1, key_2 = jax.random.split(key, 2)
+    # Three-way split mirrors the reference's killing
+    # (``fbs/samplers/resampling.py``) so trajectories agree key-for-key;
+    # key_3 is unused there too.
+    key_1, key_2, _key_3 = jax.random.split(key, 3)
     n = weights.shape[0]
     w_max = weights.max()
     survive = jax.random.uniform(key_1, (n,)) * w_max < weights
