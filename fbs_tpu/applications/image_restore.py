@@ -125,13 +125,18 @@ class RestorationSampler:
             self.reverse_drift, self.reverse_dispersion,
             concat_batched, unpack_batched, dt)
 
+        self.take_fn = None
         if self.mesh is not None:
-            from fbs_tpu.parallel import shard_particle_closures, shard_fused_kernel
+            from fbs_tpu.parallel import (make_ring_take, shard_particle_closures,
+                                          shard_fused_kernel)
 
             transition_sampler, transition_logpdf, likelihood_logpdf = (
                 shard_particle_closures(self.mesh, transition_sampler,
                                         transition_logpdf, likelihood_logpdf))
             fused_kernel = shard_fused_kernel(self.mesh, fused_kernel)
+            # Resampling payload moves ride a ppermute ring instead of the
+            # GSPMD all-gather a sharded ``jnp.take`` would lower to.
+            self.take_fn = make_ring_take(self.mesh)
 
         def fwd_sampler(key_, x0_, y0_, mask_):
             xy0 = dataset.concat(x0_, y0_, mask_)
@@ -172,7 +177,8 @@ class RestorationSampler:
             transition_sampler=self.transition_sampler,
             transition_logpdf=self.transition_logpdf,
             likelihood_logpdf=self.likelihood_logpdf,
-            nparticles=self.nparticles, method="filter", marg_y=marg_y))
+            nparticles=self.nparticles, method="filter", marg_y=marg_y,
+            take_fn=self.take_fn))
         return fn(key, y0, mask_=mask)
 
     def gibbs_init(self, key: JKey, y0: JArray, mask, method: str = "smoother",
@@ -183,7 +189,8 @@ class RestorationSampler:
             transition_sampler=self.transition_sampler,
             transition_logpdf=self.transition_logpdf,
             likelihood_logpdf=self.likelihood_logpdf,
-            nparticles=self.nparticles, method=method, marg_y=marg_y))
+            nparticles=self.nparticles, method=method, marg_y=marg_y,
+            take_fn=self.take_fn))
         return fn(key, y0, x0=x0, mask_=mask)
 
     def gibbs_step(self, key: JKey, x0: JArray, y0: JArray,
@@ -200,7 +207,7 @@ class RestorationSampler:
             likelihood_logpdf=self.likelihood_logpdf,
             marg_y=marg_y, explicit_backward=explicit_backward,
             explicit_final=explicit_final, fused_kernel=self.fused_kernel,
-            cond_resampling=self._cond_resampling_fn()))
+            cond_resampling=self._cond_resampling_fn(), take_fn=self.take_fn))
         return fn(key, x0, y0, us_star, bs_star, mask_=mask)
 
     def _cond_resampling_fn(self):

@@ -49,6 +49,7 @@ def csmc_kernel(key: JKey,
                 backward: bool = False,
                 fused_kernel: Optional[Callable] = None,
                 history_dtype=None,
+                take_fn: Optional[Callable] = None,
                 **kwargs) -> Tuple[JArray, JArray]:
     r"""One cSMC sweep updating the reference trajectory ``us_star`` with
     ancestor indices ``bs_star`` (reference ``csmc.py:14-77``).
@@ -68,6 +69,7 @@ def csmc_kernel(key: JKey,
                                    cond_resampling, nsamples,
                                    fused_kernel=fused_kernel,
                                    history_dtype=history_dtype,
+                                   take_fn=take_fn,
                                    **kwargs)
     if backward:
         us_star, bs_star = backward_sampling_pass(key_bwd, transition_logpdf, vs, ts, uss, log_ws,
@@ -78,13 +80,19 @@ def csmc_kernel(key: JKey,
 
 
 def _make_scan_body(transition_sampler, likelihood_logpdf, cond_resampling,
-                    fused_kernel, kwargs, history_dtype=None):
+                    fused_kernel, kwargs, history_dtype=None, take_fn=None):
     """Shared step body for the two forward-pass variants.
 
     ``history_dtype`` (e.g. ``jnp.bfloat16``) downcasts only the *stored*
     particle history; the carried working state stays full precision.  Halves
     the dominant (K, N, du) memory term of the full-history pass.
+
+    ``take_fn(us, A) -> us[A]`` overrides the payload gather of the
+    resampling step — pass :func:`fbs_tpu.parallel.resampling.make_ring_take`
+    to move shard-resident particles over ``ppermute`` rings instead of a
+    GSPMD all-gather when the particle axis is sharded.
     """
+    take = take_fn if take_fn is not None else lambda us, A: jnp.take(us, A, axis=0)
 
     def scan_body(carry, inp):
         log_ws, us_prev = carry
@@ -93,7 +101,7 @@ def _make_scan_body(transition_sampler, likelihood_logpdf, cond_resampling,
 
         # Conditional resampling pinned at (b_star_prev -> b_star).
         A = cond_resampling(key_resampling, jnp.exp(log_ws), b_star_prev, b_star, True)
-        us_prev = jnp.take(us_prev, A, axis=0)
+        us_prev = take(us_prev, A)
 
         if fused_kernel is None:
             us = transition_sampler(us_prev, v_prev, t_prev, key_transition, **kwargs)
@@ -131,6 +139,7 @@ def forward_pass(key: JKey,
                  nsamples: int,
                  fused_kernel: Optional[Callable] = None,
                  history_dtype=None,
+                 take_fn: Optional[Callable] = None,
                  **kwargs) -> Tuple[JArray, JArray, JArray]:
     r"""Forward pass storing the full history (reference ``csmc.py:80-164``).
 
@@ -142,7 +151,7 @@ def forward_pass(key: JKey,
     nsteps = us_star.shape[0] - 1
     scan_body = _make_scan_body(transition_sampler, likelihood_logpdf,
                                 cond_resampling, fused_kernel, kwargs,
-                                history_dtype=history_dtype)
+                                history_dtype=history_dtype, take_fn=take_fn)
     key_scan, us0, log_ws0 = _forward_init(key, us_star, bs_star, vs,
                                            init_sampler, init_likelihood_logpdf,
                                            nsamples, kwargs)
@@ -168,6 +177,7 @@ def forward_pass_terminal(key: JKey,
                           cond_resampling: Callable,
                           nsamples: int,
                           fused_kernel: Optional[Callable] = None,
+                          take_fn: Optional[Callable] = None,
                           **kwargs) -> Tuple[JArray, JArray]:
     """Memory-light forward pass: identical sampling path to
     :func:`forward_pass` but only the terminal ``(log_ws, us)`` survive the
@@ -179,7 +189,8 @@ def forward_pass_terminal(key: JKey,
     """
     nsteps = us_star.shape[0] - 1
     scan_body_full = _make_scan_body(transition_sampler, likelihood_logpdf,
-                                     cond_resampling, fused_kernel, kwargs)
+                                     cond_resampling, fused_kernel, kwargs,
+                                     take_fn=take_fn)
 
     def scan_body(carry, inp):
         carry, _ = scan_body_full(carry, inp)

@@ -51,6 +51,7 @@ def gibbs_init(key: JKey, y0: JArray, x0_shape, ts: JArray,
                nparticles: int, method: str = "smoother",
                marg_y: bool = True,
                x0: Optional[JArray] = None,
+               take_fn: Optional[Callable] = None,
                **kwargs):
     """Initialise the Gibbs chain with a bootstrap filter/smoother draw
     (reference ``gibbs.py:23-65``).
@@ -73,12 +74,14 @@ def gibbs_init(key: JKey, y0: JArray, x0_shape, ts: JArray,
     if method == "filter":
         approx_x0 = bootstrap_filter(transition_sampler, likelihood_logpdf, vs, ts,
                                      init_sampler, key_bf, nparticles,
-                                     stratified, log=True, return_last=True, **kwargs)[0][0]
+                                     stratified, log=True, return_last=True,
+                                     take_fn=take_fn, **kwargs)[0][0]
         approx_us_star = unpack(fwd_sampler(key_fwd2, approx_x0, y0, **kwargs), **kwargs)[0][::-1]
     elif method == "smoother":
         uss = bootstrap_filter(transition_sampler, likelihood_logpdf, vs, ts,
                                init_sampler, key_bf, nparticles,
-                               stratified, log=True, return_last=False, **kwargs)[0]
+                               stratified, log=True, return_last=False,
+                               take_fn=take_fn, **kwargs)[0]
         approx_x0 = uss[-1, 0]
         approx_us_star = bootstrap_backward_smoother(key_bwd, uss, vs, ts,
                                                      transition_logpdf, **kwargs)
@@ -106,6 +109,7 @@ def gibbs_kernel(key: JKey, x0: JArray, y0: JArray, us_star: JArray, bs_star: JA
                  explicit_final: bool = False,
                  cond_resampling: Callable = killing,
                  fused_kernel: Optional[Callable] = None,
+                 take_fn: Optional[Callable] = None,
                  **kwargs) -> Tuple[JArray, JArray, JArray, JArray]:
     """One sweep of the forward-backward Gibbs sampler
     (reference ``gibbs.py:68-168``).
@@ -143,6 +147,7 @@ def gibbs_kernel(key: JKey, x0: JArray, y0: JArray, us_star: JArray, bs_star: JA
                                                transition_sampler, likelihood_logpdf,
                                                cond_resampling, nparticles,
                                                fused_kernel=fused_kernel,
+                                               take_fn=take_fn,
                                                **kwargs)
         idx, _ = force_move(key_csmc_x0, jnp.exp(log_ws_T), bs_star[-1])
         x0 = us_T[idx]
@@ -158,6 +163,7 @@ def gibbs_kernel(key: JKey, x0: JArray, y0: JArray, us_star: JArray, bs_star: JA
                                                  cond_resampling, nparticles,
                                                  backward=False,
                                                  fused_kernel=fused_kernel,
+                                                 take_fn=take_fn,
                                                  **kwargs)
     x0_next = us_star_next[-1]
     return x0_next, us_star_next, bs_star_next, bs_star_next != bs_star

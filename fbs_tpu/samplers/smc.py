@@ -46,6 +46,7 @@ def bootstrap_filter(transition_sampler: Callable[[JArray, JArray, FloatScalar, 
                      log: bool = True,
                      return_last: bool = True,
                      ess_threshold: Optional[float] = None,
+                     take_fn: Optional[Callable] = None,
                      **kwargs) -> Tuple[JArray, JFloat]:
     r"""Bootstrap particle filter over the backward bridge (reference
     ``fbs/samplers/smc.py:9-88``).
@@ -68,6 +69,7 @@ def bootstrap_filter(transition_sampler: Callable[[JArray, JArray, FloatScalar, 
     if not log:
         raise NotImplementedError("Only the log-domain filter is supported (and used).")
 
+    take = take_fn if take_fn is not None else lambda us, A: jnp.take(us, A, axis=0)
     nsteps = vs.shape[0] - 1
     key_init, key_steps = jax.random.split(key)
     init_samples = init_sampler(key_init, vs[0], nparticles)
@@ -86,7 +88,7 @@ def bootstrap_filter(transition_sampler: Callable[[JArray, JArray, FloatScalar, 
             log_nell -= _c - math.log(nparticles)
             log_weights = log_weights - _c
             inds = resampling(jnp.exp(log_weights), key_resampling)
-            us = jnp.take(us, inds, axis=0)
+            us = take(us, inds)
 
             return (us, log_nell), None if return_last else us
 
@@ -111,7 +113,7 @@ def bootstrap_filter(transition_sampler: Callable[[JArray, JArray, FloatScalar, 
             ess = 1.0 / jnp.sum(jnp.exp(2.0 * log_ws))
             do_resample = ess < ess_threshold * nparticles
             inds = resampling(jnp.exp(log_ws), key_resampling)
-            us = jnp.where(do_resample, jnp.take(us, inds, axis=0), us)
+            us = jnp.where(do_resample, take(us, inds), us)
             log_ws = jnp.where(do_resample, log_uniform, log_ws)
 
             return (us, log_ws, log_nell), None if return_last else us

@@ -120,6 +120,87 @@ def test_sharded_restoration_gibbs_matches_unsharded():
                         rtol=5e-5, atol=1e-6)
 
 
+def test_ring_take_bitwise_and_collective_permute():
+    """The cross-shard resampling payload move (SURVEY section 7 hard part 1):
+    bitwise equal to ``jnp.take`` and lowered to ppermutes, not an
+    all-gather."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from fbs_tpu.parallel import make_ring_take
+
+    mesh = make_mesh(axis_names=("p",))
+    take = make_ring_take(mesh)
+
+    N, h, w = 64, 5, 3
+    us = jax.random.normal(jax.random.PRNGKey(0), (N, h, w))
+    idx = jax.random.randint(jax.random.PRNGKey(1), (N,), 0, N)
+    us_sh = jax.device_put(us, NamedSharding(mesh, P("p")))
+    idx_r = jax.device_put(idx, NamedSharding(mesh, P()))
+
+    out = jax.jit(take)(us_sh, idx_r)
+    assert bool(jnp.all(out == jnp.take(us, idx, axis=0)))
+
+    hlo = jax.jit(take).lower(us_sh, idx_r).compile().as_text()
+    assert "collective-permute" in hlo
+    assert "all-gather" not in hlo
+
+
+def test_ring_take_gibbs_bitwise_matches_unsharded():
+    """Full Gibbs sweep with the ring-take resampling payload move is
+    bitwise identical to the unsharded sweep under shared keys."""
+    from functools import partial
+    from fbs_tpu.parallel import make_ring_take
+    from fbs_tpu.samplers import gibbs_kernel
+    from fbs_tpu.samplers.kernels import make_separable_kernels
+    from fbs_tpu.sdes import make_linear_sde
+
+    sde = StationaryConstLinearSDE(a=-0.5, b=1.0)
+    _, _, sim_fwd = make_linear_sde(sde)
+    T, nsteps, nparticles = 1.0, 6, 16
+    ts = jnp.linspace(0, T, nsteps + 1)
+    dt = T / nsteps
+
+    def score(z, t):
+        return -z / (1.0 + t)
+
+    def rev_drift(uv, t):
+        return -sde.drift(uv, T - t) + sde.dispersion(T - t) ** 2 * score(uv, T - t)
+
+    def concat(us, v, **kw):
+        return jnp.concatenate([us, jnp.broadcast_to(v, (us.shape[0], *v.shape))], axis=-1)
+
+    def unpack_batched(uv, **kw):
+        return uv[..., :2], uv[..., 2:]
+
+    trans, trans_lp, lik_lp, fused = make_separable_kernels(
+        rev_drift, lambda t: sde.dispersion(T - t), concat, unpack_batched, dt)
+
+    def fwd_sampler(key_, x0_, y0_):
+        return sim_fwd(key_, jnp.concatenate([x0_, y0_]), ts)
+
+    def unpack(xy):
+        return xy[..., :2], xy[..., 2:]
+
+    mesh = make_mesh(axis_names=("p",))
+    common = dict(ts=ts, fwd_sampler=fwd_sampler, sde=sde, unpack=unpack,
+                  nparticles=nparticles, transition_sampler=trans,
+                  transition_logpdf=trans_lp, likelihood_logpdf=lik_lp,
+                  marg_y=False, explicit_backward=True, explicit_final=True)
+
+    key = jax.random.PRNGKey(3)
+    x0, y0 = jnp.array([0.1, -0.2]), jnp.array([0.4])
+    us_star = jnp.zeros((nsteps + 1, 2))
+    bs_star = jnp.zeros((nsteps + 1,), dtype=int)
+
+    plain = jax.jit(partial(gibbs_kernel, **common))(key, x0, y0, us_star, bs_star)
+    with mesh:
+        ringed = jax.jit(partial(gibbs_kernel, take_fn=make_ring_take(mesh),
+                                 **common))(key, x0, y0, us_star, bs_star)
+
+    assert bool(jnp.all(plain[0] == ringed[0]))
+    assert bool(jnp.all(plain[1] == ringed[1]))
+    assert bool(jnp.all(plain[2] == ringed[2]))
+
+
 def test_data_parallel_loss_grads_match_single_device():
     """DP-sharded DSM loss == unsharded loss (same values, same grads)."""
     mesh = make_mesh(axis_names=("d",))
