@@ -116,6 +116,18 @@ def save_image(path: str, img, nchannels: int):
                cmap="gray" if nchannels == 1 else "viridis")
 
 
+def save_true_artifacts(head: str, test_img, test_y0, mask, dataset, nchannels) -> None:
+    """Write the per-y0 truth artifacts the tabulators consume: ``-true.png``,
+    ``-true.npz`` (``test_img`` + mask arrays, reference
+    ``experiments/imgs/inpainting.py:215-216``) and ``-corrupt.png``."""
+    save_image(head + "-true.png", test_img, nchannels)
+    np.savez(head + "-true", *[np.asarray(m) for m in mask],
+             test_img=np.asarray(test_img))
+    save_image(head + "-corrupt.png",
+               dataset.concat(jnp.zeros(dataset.unobs_shape), test_y0, mask),
+               nchannels)
+
+
 def run_restoration(args, task: str, results_dir: str, size_tag) -> None:
     """Shared conditional-sampling loop for inpainting and super-resolution.
 
@@ -145,12 +157,7 @@ def run_restoration(args, task: str, results_dir: str, size_tag) -> None:
         print(f"Running conditional sampler for {k}-th test sample.")
         test_img, test_y0, mask = dataset.sampler(subkey)
         head = f"{results_dir}/{args.dataset}-{size_tag}-{args.sde}-{args.nparticles}-{k}"
-        save_image(head + "-true.png", test_img, nchannels)
-        np.savez(head + "-true", *[np.asarray(m) for m in mask],
-                 test_img=np.asarray(test_img))
-        save_image(head + "-corrupt.png",
-                   dataset.concat(jnp.zeros(dataset.unobs_shape), test_y0, mask),
-                   nchannels)
+        save_true_artifacts(head, test_img, test_y0, mask, dataset, nchannels)
 
         restored_imgs = np.zeros((nsamples, resolution, resolution, nchannels))
 

@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from experiments.imgs.common import base_parser, build_sampler, save_image
+from experiments.imgs.common import base_parser, build_sampler, save_image, save_true_artifacts
 
 
 def main():
@@ -30,7 +30,7 @@ def main():
         print(f"Running twisted sampler for {k}-th test sample.")
         test_img, test_y0, mask = dataset.sampler(subkey)
         head = f"./imgs/results_inpainting/{args.dataset}-{args.rect_size}-{args.sde}-{args.nparticles}-{k}"
-        save_image(head + "-true.png", test_img, nchannels)
+        save_true_artifacts(head, test_img, test_y0, mask, dataset, nchannels)
 
         restored_imgs = np.zeros((nsamples, resolution, resolution, nchannels))
         for i in range(nsamples):
