@@ -233,11 +233,16 @@ class FullAttention(nn.Module):
 
         N = H * W
         if N > self.flash_threshold:
-            from fbs_tpu.ops.flash_attention import flash_attention_jax
+            from fbs_tpu.ops.flash_attention import flash_attention, flash_attention_jax
 
-            out = flash_attention_jax(q.astype(self.dtype), k.astype(self.dtype),
-                                      v.astype(self.dtype), scale=self.scale)
-            out = out.astype(jnp.float32)
+            qf, kf, vf = (t.astype(self.dtype).reshape(B * self.heads, N, self.dim_head)
+                          for t in (q, k, v))
+            if jax.default_backend() == "tpu":
+                # Fused Pallas kernel (custom_vjp: JAX-flash recompute bwd).
+                out = flash_attention(qf, kf, vf, self.scale)
+            else:
+                out = flash_attention_jax(qf, kf, vf, scale=self.scale)
+            out = out.reshape(B, self.heads, N, self.dim_head).astype(jnp.float32)
         else:
             logits = jax.lax.dot_general(
                 q.astype(self.dtype), k.astype(self.dtype),
