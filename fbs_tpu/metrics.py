@@ -85,11 +85,36 @@ def autocorr(samples: JArray, max_lag: int = 100) -> JArray:
     return jnp.max(rho, axis=1)
 
 
-def ess(samples: JArray, max_lag: int = 200) -> JArray:
-    """Effective sample size via the initial-positive-sequence estimator."""
+def ess(samples: JArray, max_lag: int = 200, reduce: str = "min") -> JArray:
+    """Effective sample size, Geyer initial-monotone-sequence estimator
+    (the single-chain version of numpyro/Stan's ``effective_sample_size``):
+    per state dimension, sum the lag-pair autocorrelations
+    ``G_k = rho_{2k} + rho_{2k+1}`` until the first negative pair, enforcing
+    monotone decrease, with the biased (1/n) autocovariance normalisation.
+
+    ``reduce``: 'min' (conservative scalar, default), 'mean', or 'none'
+    (per-dim array).
+    """
     n = samples.shape[0]
-    rho = autocorr(samples, max_lag=min(max_lag, n - 1))
-    # Truncate at the first negative autocorrelation.
-    positive = jnp.cumprod(rho > 0.0)
-    tau = 1.0 + 2.0 * jnp.sum(rho * positive)
-    return n / jnp.maximum(tau, 1.0)
+    x = samples.reshape(n, -1).astype(jnp.float64 if jax.config.jax_enable_x64
+                                      else jnp.float32)
+    x = x - jnp.mean(x, axis=0)
+
+    max_lag = min(max_lag, n - 2)
+    nfft = 2 * n
+    f = jnp.fft.rfft(x, n=nfft, axis=0)
+    acov = jnp.fft.irfft(f * jnp.conj(f), n=nfft, axis=0)[: max_lag + 1].real / n
+    rho = acov / jnp.maximum(acov[:1], 1e-30)  # rho[0] = 1, per dim
+
+    npairs = (max_lag + 1) // 2
+    pairs = rho[: 2 * npairs].reshape(npairs, 2, -1).sum(axis=1)  # G_k per dim
+    positive = jnp.cumprod(pairs > 0.0, axis=0)
+    # Initial monotone sequence: running minimum over the positive prefix.
+    monotone = jax.lax.cummin(jnp.where(positive, pairs, 0.0), axis=0)
+    tau = -1.0 + 2.0 * jnp.sum(jnp.where(positive, monotone, 0.0), axis=0)
+    ess_d = n / jnp.maximum(tau, 1.0)
+    if reduce == "min":
+        return jnp.min(ess_d)
+    if reduce == "mean":
+        return jnp.mean(ess_d)
+    return ess_d

@@ -42,6 +42,19 @@ def test_ess_iid_near_n():
     assert 2000 < val <= 4000 * 1.5
 
 
+def test_ess_matches_ar1_oracle():
+    """Geyer ESS vs the analytic AR(1) value n (1-phi) / (1+phi)."""
+    phi, n = 0.5, 50000
+    rng = np.random.default_rng(1)
+    eps = rng.normal(size=(n, 2))
+    x = np.zeros((n, 2))
+    for i in range(1, n):
+        x[i] = phi * x[i - 1] + eps[i]
+    expected = n * (1 - phi) / (1 + phi)
+    val = float(ess(jnp.asarray(x), max_lag=500))
+    npt.assert_allclose(val, expected, rtol=0.12)
+
+
 def test_autocorr_decays_for_ar1():
     rho = 0.9
     n = 20000
