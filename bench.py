@@ -22,8 +22,9 @@ import jax.numpy as jnp
 REFERENCE_PARTICLE_STEPS_PER_SEC = 12_500.0
 
 
-def build_sweep(nparticles: int, nsteps: int, dim: int, image_shape, compute_dtype):
-    """Build a jitted Gibbs sweep closure on synthetic MNIST-like data."""
+def build_sweep(nparticles: int, nsteps: int, dim: int, image_shape, compute_dtype,
+                task: str = "inpaint-15"):
+    """Build a jitted Gibbs sweep closure on synthetic image data."""
     from fbs_tpu.data import ImageRestore
     from fbs_tpu.nn import UNet, make_st_nn
     from fbs_tpu.samplers import gibbs_kernel, make_separable_kernels
@@ -33,7 +34,7 @@ def build_sweep(nparticles: int, nsteps: int, dim: int, image_shape, compute_dty
     h, w, c = image_shape
 
     xs = jax.random.uniform(key, (16, h, w, c))
-    dataset = ImageRestore.from_array(xs, task="inpaint-15")
+    dataset = ImageRestore.from_array(xs, task=task)
     test_img, y0, mask = dataset.sampler(jax.random.PRNGKey(1))
 
     T = 2.0
@@ -88,52 +89,72 @@ def build_sweep(nparticles: int, nsteps: int, dim: int, image_shape, compute_dty
     return sweep, (x0, us_star, bs_star)
 
 
+def time_sweep(nparticles, nsteps, dim, image_shape, compute_dtype, nreps,
+               task="inpaint-15"):
+    sweep, (x0, us_star, bs_star) = build_sweep(nparticles, nsteps, dim,
+                                                image_shape, compute_dtype, task=task)
+    key = jax.random.PRNGKey(0)
+    x0_, us_, bs_, _ = sweep(key, x0, us_star, bs_star)  # compile + warmup
+    jax.block_until_ready(x0_)
+
+    t0 = time.perf_counter()
+    for _ in range(nreps):
+        key, sub = jax.random.split(key)
+        x0_, us_, bs_, _ = sweep(sub, x0_, us_, bs_)
+    jax.block_until_ready(x0_)
+    return (time.perf_counter() - t0) / nreps
+
+
 def main():
+    import os
+
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
 
     if on_tpu:
         from fbs_tpu.nn import default_compute_dtype
         compute_dtype = default_compute_dtype()
-        nparticles, nsteps, dim = 100, 200, 64
+        # The config of record: K = 1000 sampler steps, N = 100 particles
+        # (reference bashes/imgs_gibbs.sh:37) — measured directly, no
+        # extrapolation.
+        nparticles, nsteps, dim = 100, 1000, 64
         image_shape = (28, 28, 1)
+        nreps = 3
     else:
         compute_dtype = jnp.float32
         nparticles, nsteps, dim = 8, 8, 8
         image_shape = (16, 16, 1)
+        nreps = 1
 
-    sweep, (x0, us_star, bs_star) = build_sweep(nparticles, nsteps, dim,
-                                                image_shape, compute_dtype)
-
-    key = jax.random.PRNGKey(0)
-    # Warmup / compile.
-    x0_, us_, bs_, _ = sweep(key, x0, us_star, bs_star)
-    jax.block_until_ready(x0_)
-
-    nreps = 3 if on_tpu else 1
-    t0 = time.perf_counter()
-    for i in range(nreps):
-        key, sub = jax.random.split(key)
-        x0_, us_, bs_, _ = sweep(sub, x0_, us_, bs_)
-    jax.block_until_ready(x0_)
-    elapsed = (time.perf_counter() - t0) / nreps
-
+    elapsed = time_sweep(nparticles, nsteps, dim, image_shape, compute_dtype, nreps)
     particle_steps_per_sec = nparticles * nsteps / elapsed
     vs_baseline = particle_steps_per_sec / REFERENCE_PARTICLE_STEPS_PER_SEC
+
+    detail = {
+        "platform": platform,
+        "nparticles": nparticles,
+        "nsteps": nsteps,
+        "unet_dim": dim,
+        "sec_per_sweep": round(elapsed, 4),
+        # The reference publishes no throughput numbers; the baseline divisor
+        # is the 22 h Slurm *limit* / 10^4 sweeps (an upper bound on the
+        # reference's time), so vs_baseline is a lower bound on the speedup.
+        "baseline_is_envelope_upper_bound": True,
+    }
+
+    if on_tpu and os.environ.get("BENCH_FULL"):
+        # CelebA-HQ-64 inpaint-32 sweep (reference CelebA config: N = 10).
+        elapsed64 = time_sweep(10, 1000, dim, (64, 64, 3), compute_dtype, nreps,
+                               task="inpaint-32")
+        detail["celeba64_inpaint32_N10_sec_per_sweep"] = round(elapsed64, 4)
+        detail["celeba64_particle_steps_per_sec"] = round(10 * 1000 / elapsed64, 1)
 
     print(json.dumps({
         "metric": "particle_steps_per_sec",
         "value": round(particle_steps_per_sec, 1),
         "unit": "particle*step/s",
         "vs_baseline": round(vs_baseline, 3),
-        "detail": {
-            "platform": platform,
-            "nparticles": nparticles,
-            "nsteps": nsteps,
-            "unet_dim": dim,
-            "sec_per_sweep": round(elapsed, 4),
-            "sec_per_equivalent_K1000_sweep": round(elapsed * 1000 / nsteps, 3),
-        },
+        "detail": detail,
     }))
 
 
