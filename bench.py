@@ -108,6 +108,9 @@ def time_sweep(nparticles, nsteps, dim, image_shape, compute_dtype, nreps,
 def main():
     import os
 
+    from fbs_tpu.compile_cache import enable as enable_compile_cache
+
+    enable_compile_cache()
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
 

@@ -10,6 +10,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 import jax
 import jax.numpy as jnp
+
+from fbs_tpu.compile_cache import enable as _enable_compile_cache
+
+_enable_compile_cache()
 import numpy as np
 
 

@@ -1,0 +1,31 @@
+"""Persistent XLA compilation cache for the experiment entry points.
+
+TPU compiles of the full Gibbs-sweep programs take minutes each (they go
+through a remote compile helper on this platform); the persistent cache
+makes every rerun — and every CLI that shares a compiled program shape —
+start in seconds.  Verified to round-trip through the axon remote-compile
+backend.
+
+The reference has no equivalent (it relies on each Slurm job paying the
+compile once and running for hours).  Library code stays pure: only entry
+points (experiment CLIs, bench) opt in by calling :func:`enable`.
+"""
+from __future__ import annotations
+
+import os
+
+_DEFAULT_DIR = os.path.expanduser("~/.cache/fbs_tpu_xla")
+
+
+def enable(cache_dir: str | None = None, min_compile_secs: float = 1.0) -> str:
+    """Enable JAX's persistent compilation cache (idempotent).
+
+    Honours ``JAX_COMPILATION_CACHE_DIR`` if set; returns the directory used.
+    """
+    import jax
+
+    path = cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR", _DEFAULT_DIR)
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", min_compile_secs)
+    return path
