@@ -23,8 +23,8 @@ REFERENCE_PARTICLE_STEPS_PER_SEC = 12_500.0
 
 
 def build_sweep(nparticles: int, nsteps: int, dim: int, image_shape, compute_dtype,
-                task: str = "inpaint-15"):
-    """Build a jitted Gibbs sweep closure on synthetic image data."""
+                task: str = "inpaint-15", xs=None, history_dtype=None):
+    """Build a jitted Gibbs sweep closure on synthetic (or provided) images."""
     from fbs_tpu.data import ImageRestore
     from fbs_tpu.nn import UNet, make_st_nn
     from fbs_tpu.samplers import gibbs_kernel, make_separable_kernels
@@ -33,7 +33,8 @@ def build_sweep(nparticles: int, nsteps: int, dim: int, image_shape, compute_dty
     key = jax.random.PRNGKey(666)
     h, w, c = image_shape
 
-    xs = jax.random.uniform(key, (16, h, w, c))
+    if xs is None:
+        xs = jax.random.uniform(key, (16, h, w, c))
     dataset = ImageRestore.from_array(xs, task=task)
     test_img, y0, mask = dataset.sampler(jax.random.PRNGKey(1))
 
