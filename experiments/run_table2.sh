@@ -18,6 +18,9 @@ EPOCH=${3:-599}
 NY0S=${4:-20}
 NSAMPLES=${5:-20}
 NSTEPS=${6:-1000}
+# Baseline methods (filter/pmcmc/twisted/csgm) can run at a reduced scale.
+BASE_NY0S=${BASE_NY0S:-$NY0S}
+BASE_NSAMPLES=${BASE_NSAMPLES:-$NSAMPLES}
 
 if [[ "$DATASET" == "mnist" ]]; then
   RECT=15; SR=4
@@ -28,20 +31,22 @@ else
 fi
 
 COMMON="--dataset=$DATASET --sde=lin --test_nsteps=$NSTEPS --test_epoch=$EPOCH \
-  --test_ema --test_seed=996 --ny0s=$NY0S --nsamples=$NSAMPLES --bf16"
+  --test_ema --test_seed=996 --bf16"
+MAIN="--ny0s=$NY0S --nsamples=$NSAMPLES"
+BASE="--ny0s=$BASE_NY0S --nsamples=$BASE_NSAMPLES"
 
 run() { echo "=== $*"; python "$@"; }
 
-run imgs/inpainting.py $COMMON --rect_size=$RECT --nparticles=$NPARTICLES --method=gibbs-eb-ef
-run imgs/supr.py       $COMMON --rate=$SR        --nparticles=$NPARTICLES --method=gibbs-eb-ef
-run imgs/inpainting.py $COMMON --rect_size=$RECT --nparticles=$NPARTICLES --method=filter
-run imgs/supr.py       $COMMON --rate=$SR        --nparticles=$NPARTICLES --method=filter
-run imgs/inpainting.py $COMMON --rect_size=$RECT --nparticles=$NPARTICLES --method=pmcmc-0.005
-run imgs/supr.py       $COMMON --rate=$SR        --nparticles=$NPARTICLES --method=pmcmc-0.005
-run imgs/inpainting_twisted.py $COMMON --rect_size=$RECT --nparticles=$NPARTICLES
-run imgs/supr_twisted.py       $COMMON --rate=$SR        --nparticles=$NPARTICLES
-run imgs/inpainting_csgm.py    $COMMON --rect_size=$RECT --nparticles=$NPARTICLES
-run imgs/supr_csgm.py          $COMMON --rate=$SR        --nparticles=$NPARTICLES
+run imgs/inpainting.py $COMMON $MAIN --rect_size=$RECT --nparticles=$NPARTICLES --method=gibbs-eb-ef
+run imgs/supr.py       $COMMON $MAIN --rate=$SR        --nparticles=$NPARTICLES --method=gibbs-eb-ef
+run imgs/inpainting.py $COMMON $BASE --rect_size=$RECT --nparticles=$NPARTICLES --method=filter
+run imgs/supr.py       $COMMON $BASE --rate=$SR        --nparticles=$NPARTICLES --method=filter
+run imgs/inpainting.py $COMMON $BASE --rect_size=$RECT --nparticles=$NPARTICLES --method=pmcmc-0.005
+run imgs/supr.py       $COMMON $BASE --rate=$SR        --nparticles=$NPARTICLES --method=pmcmc-0.005
+run imgs/inpainting_twisted.py $COMMON $BASE --rect_size=$RECT --nparticles=$NPARTICLES
+run imgs/supr_twisted.py       $COMMON $BASE --rate=$SR        --nparticles=$NPARTICLES
+run imgs/inpainting_csgm.py    $COMMON $BASE --rect_size=$RECT --nparticles=$NPARTICLES
+run imgs/supr_csgm.py          $COMMON $BASE --rate=$SR        --nparticles=$NPARTICLES
 
 echo "=== tabulating"
 for METHOD in gibbs-eb-ef filter pmcmc-0.005 twisted csgm; do
