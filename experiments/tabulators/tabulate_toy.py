@@ -71,7 +71,8 @@ def main():
                f"pmcmc-0.005-{args.sde}-{args.nparticles}",
                f"pmcmc-0.001-{args.sde}-{args.nparticles}",
                f"twisted-{args.sde}-{args.nparticles}",
-               f"csgm-{args.sde}"]
+               f"csgm-{args.sde}",
+               "kf"]
     for method in methods:
         try:
             tabulate(method, args.max_mcs)
