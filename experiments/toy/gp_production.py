@@ -42,6 +42,11 @@ def parse_args():
                         default="gibbs-eb,pmcmc-0.005,pmcmc-0.001,filter,twisted,csgm")
     parser.add_argument("--chunk", type=int, default=50,
                         help="Draws per scan step for the one-shot methods.")
+    parser.add_argument("--dispatch_sweeps", type=int, default=500,
+                        help="Sweeps per device dispatch: the scan is chunked "
+                             "so no single XLA execution exceeds the TPU "
+                             "tunnel's RPC deadline (a 10k-sweep single "
+                             "dispatch crashes the remote worker).")
     return parser.parse_args()
 
 
@@ -82,7 +87,7 @@ def main():
     master = jax.random.PRNGKey(999)
 
     def run_mcmc(tag, init_one, step_one):
-        """Vmapped-over-reps MCMC: init once, scan nsamples sweeps."""
+        """Vmapped-over-reps MCMC: init once, scan sweeps in bounded chunks."""
         t0 = time.time()
         keys = jax.random.split(jax.random.fold_in(master, hash(tag) % (2 ** 31)), nmc)
         state = jax.jit(jax.vmap(init_one))(keys, y0s)
@@ -91,10 +96,14 @@ def main():
             st, out = jax.vmap(step_one)(jax.random.split(key_, nmc), y0s, st)
             return st, out
 
+        scan_chunk = jax.jit(lambda st, ks: jax.lax.scan(sweep, st, ks))
         skeys = jax.random.split(jax.random.fold_in(master, 1 + hash(tag) % (2 ** 31)),
                                  nsamples)
-        _, samples = jax.jit(lambda st, ks: jax.lax.scan(sweep, st, ks))(state, skeys)
-        samples = np.moveaxis(np.asarray(samples), 0, 1)  # (nmc, nsamples, d)
+        parts = []
+        for lo in range(0, nsamples, args.dispatch_sweeps):
+            state, part = scan_chunk(state, skeys[lo:lo + args.dispatch_sweeps])
+            parts.append(np.asarray(part))
+        samples = np.moveaxis(np.concatenate(parts), 0, 1)  # (nmc, nsamples, d)
         for i in range(nmc):
             save(args, tag, i, samples[i], gp_means[i], gp_covs[i])
         print(f"{tag}: {nsamples} samples x {nmc} reps in {time.time() - t0:.1f}s")
@@ -105,16 +114,17 @@ def main():
         chunk = args.chunk
         nchunks = -(-nsamples // chunk)
 
-        def body(_, key_):
+        @jax.jit
+        def body(key_):
             ks = jax.random.split(key_, nmc * chunk).reshape(nmc, chunk, 2)
-            out = jax.vmap(jax.vmap(draw_one, in_axes=(0, None)))(ks, y0s)
-            return None, out
+            return jax.vmap(jax.vmap(draw_one, in_axes=(0, None)))(ks, y0s)
 
         ckeys = jax.random.split(jax.random.fold_in(master, 2 + hash(tag) % (2 ** 31)),
                                  nchunks)
-        _, samples = jax.jit(lambda ks: jax.lax.scan(body, None, ks))(ckeys)
+        # One bounded dispatch per chunk (see --dispatch_sweeps rationale).
+        samples = np.stack([np.asarray(body(k)) for k in ckeys])
         # (nchunks, nmc, chunk, d) -> (nmc, nsamples, d)
-        samples = np.asarray(samples).transpose(1, 0, 2, 3).reshape(nmc, -1, args.d)
+        samples = samples.transpose(1, 0, 2, 3).reshape(nmc, -1, args.d)
         samples = samples[:, :nsamples]
         for i in range(nmc):
             save(args, tag, i, samples[i], gp_means[i], gp_covs[i])
