@@ -29,8 +29,13 @@ _enable_compile_cache()
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--nparticles", type=int, nargs="+", default=[128])
-    parser.add_argument("--nsteps", type=int, default=1000)
+    parser.add_argument("--nparticles", type=int, nargs="+", default=[64])
+    parser.add_argument("--nsteps", type=int, default=100,
+                        help="Steps per sweep dispatch. Per-step cost is "
+                             "K-independent; through the dev RPC tunnel keep "
+                             "a single dispatch under ~2 min (N=64/K=100 = "
+                             "51 s). N=128 at 256^2 OOMs one chip (20.1 GB "
+                             "vs 15.75 GB) - that is the multi-chip config.")
     parser.add_argument("--dim", type=int, default=64)
     parser.add_argument("--resolution", type=int, default=256)
     parser.add_argument("--task", type=str, default="inpaint-64")
