@@ -23,7 +23,7 @@ REFERENCE_PARTICLE_STEPS_PER_SEC = 12_500.0
 
 
 def build_sweep(nparticles: int, nsteps: int, dim: int, image_shape, compute_dtype,
-                task: str = "inpaint-15", xs=None, history_dtype=None):
+                task: str = "inpaint-15", xs=None):
     """Build a jitted Gibbs sweep closure on synthetic (or provided) images."""
     from fbs_tpu.data import ImageRestore
     from fbs_tpu.nn import UNet, make_st_nn

@@ -57,7 +57,9 @@ def main():
         img = np.clip(np.asarray(x0[i]), 0, 1)
         ax.imshow(img[..., 0] if nchannels == 1 else img, cmap="gray", vmin=0, vmax=1)
         ax.axis("off")
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    out_dir = os.path.dirname(args.out)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
     fig.savefig(args.out, dpi=110, bbox_inches="tight")
     print(f"saved {args.out}")
 

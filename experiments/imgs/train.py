@@ -36,6 +36,10 @@ def main():
     parser.add_argument("--bf16", action="store_true", default=False)
     parser.add_argument("--dp", action="store_true", default=False,
                         help="Data-parallel over all local devices.")
+    parser.add_argument("--init_from", type=str, default=None,
+                        help="Warm-start from a (param, ema_param) npz checkpoint.")
+    parser.add_argument("--start_epoch", type=int, default=0,
+                        help="Epoch to resume from (offsets the LR schedule).")
     args = parser.parse_args()
 
     from fbs_tpu.applications import train_score_model
@@ -65,14 +69,24 @@ def main():
         from fbs_tpu.parallel import make_mesh
         mesh = make_mesh(axis_names=("d",))
 
+    init_ema_param = None
+    if args.init_from is not None:
+        ckpt = np.load(args.init_from)
+        init_param = jnp.asarray(ckpt["param"])
+        init_ema_param = jnp.asarray(ckpt["ema_param"])
+        print(f"Warm-started from {args.init_from} at epoch {args.start_epoch}.")
+
     os.makedirs("./checkpoints", exist_ok=True)
     key, subkey = jax.random.split(key)
+    for _ in range(args.start_epoch):  # keep the data stream aligned with a fresh run
+        key, subkey = jax.random.split(key)
     param, ema_param = train_score_model(
         subkey, dataset, loss_fn, init_param,
         batch_size=args.batch_size, nepochs=args.nepochs,
         lr=args.lr, schedule=args.schedule, grad_clip=args.grad_clip,
         mesh=mesh, checkpoint_every=100,
-        checkpoint_path="./checkpoints/" + args.dataset + "_" + args.sde + "_{epoch}.npz")
+        checkpoint_path="./checkpoints/" + args.dataset + "_" + args.sde + "_{epoch}.npz",
+        init_ema_param=init_ema_param, start_epoch=args.start_epoch)
 
     np.savez(f"./checkpoints/{args.dataset}_{args.sde}_{args.nepochs - 1}.npz",
              param=param, ema_param=ema_param)

@@ -8,13 +8,13 @@
 # nsamples=20 — the VERDICT round-2 acceptance scale).  All artifacts land in
 # imgs/results_{inpainting,supr}/ and feed tabulators/tabulate_imgs.py.
 #
-# Usage: ./run_table2.sh [dataset] [nparticles] [epoch] [ny0s] [nsamples]
+# Usage: ./run_table2.sh [dataset] [nparticles] [epoch] [ny0s] [nsamples] [nsteps]
 set -euo pipefail
 cd "$(dirname "$0")"
 
 DATASET=${1:-mnist}
 NPARTICLES=${2:-100}
-EPOCH=${3:-599}
+EPOCH=${3:-499}
 NY0S=${4:-20}
 NSAMPLES=${5:-20}
 NSTEPS=${6:-1000}

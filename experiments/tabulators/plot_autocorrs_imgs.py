@@ -6,6 +6,10 @@ import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _common import setup as _setup, experiments_dir as _expdir  # noqa: E402
+_setup()
+_EXP = _expdir()
 
 import jax.numpy as jnp
 import numpy as np
@@ -29,7 +33,7 @@ def main():
     for method in args.methods:
         acs, esss = [], []
         for k in range(args.ny0s):
-            head = (f"./imgs/results_{args.task}/{args.dataset}-{args.size}"
+            head = (f"{_EXP}/imgs/results_{args.task}/{args.dataset}-{args.size}"
                     f"-{args.sde}-{args.nparticles}-{k}")
             f = head + f"-{method}.npy"
             if not os.path.exists(f):

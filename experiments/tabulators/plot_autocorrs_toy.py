@@ -9,6 +9,10 @@ import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _common import setup as _setup, experiments_dir as _expdir  # noqa: E402
+_setup()
+_EXP = _expdir()
 
 import jax.numpy as jnp
 import numpy as np
@@ -31,7 +35,7 @@ def main():
     for method in args.methods:
         acs, esss = [], []
         for mc_id in range(args.max_mcs):
-            path = f"./toy/results/{method}-{mc_id}.npz"
+            path = f"{_EXP}/toy/results/{method}-{mc_id}.npz"
             if not os.path.exists(path):
                 continue
             samples = np.load(path)["samples"]
@@ -56,8 +60,8 @@ def main():
         plt.xlabel("lag")
         plt.ylabel("max-dim autocorrelation")
         plt.legend()
-        os.makedirs("./toy/figs", exist_ok=True)
-        plt.savefig("./toy/figs/autocorrs.png", dpi=150)
+        os.makedirs(f"{_EXP}/toy/figs", exist_ok=True)
+        plt.savefig(f"{_EXP}/toy/figs/autocorrs.png", dpi=150)
 
 
 if __name__ == "__main__":

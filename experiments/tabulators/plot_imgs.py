@@ -5,6 +5,10 @@ import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _common import setup as _setup, experiments_dir as _expdir  # noqa: E402
+_setup()
+_EXP = _expdir()
 
 import numpy as np
 
@@ -26,7 +30,7 @@ def main():
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    head = (f"./imgs/results_{args.task}/{args.dataset}-{args.size}-{args.sde}"
+    head = (f"{_EXP}/imgs/results_{args.task}/{args.dataset}-{args.size}-{args.sde}"
             f"-{args.nparticles}-{args.k}")
     rows = []
     labels = []

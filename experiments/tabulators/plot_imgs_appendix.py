@@ -10,6 +10,10 @@ import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _common import setup as _setup, experiments_dir as _expdir  # noqa: E402
+_setup()
+_EXP = _expdir()
 
 import matplotlib
 matplotlib.use("Agg")
@@ -43,8 +47,8 @@ def main():
     nchannels = 1 if args.dataset == "mnist" else 3
     cmap = "gray" if nchannels == 1 else None
 
-    os.makedirs("./figs", exist_ok=True)
-    base = f"./imgs/results_{args.task}"
+    os.makedirs(f"{_EXP}/figs", exist_ok=True)
+    base = f"{_EXP}/imgs/results_{args.task}"
 
     for k in range(args.ny0s):
         head = f"{base}/{args.dataset}-{args.size}-{args.sde}-{args.nparticles}-{k}"
@@ -85,7 +89,7 @@ def main():
                 ax.set_xticks([])
                 ax.set_yticks([])
         plt.tight_layout(pad=0.1)
-        out = (f"./figs/appendix-imgs-{args.dataset}-{args.task}-{args.size}"
+        out = (f"{_EXP}/figs/appendix-imgs-{args.dataset}-{args.task}-{args.size}"
                f"-{args.nparticles}-{k}.png")
         plt.savefig(out, transparent=True)
         plt.close(fig)

@@ -5,6 +5,10 @@ import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _common import setup as _setup, experiments_dir as _expdir  # noqa: E402
+_setup()
+_EXP = _expdir()
 
 import numpy as np
 
@@ -20,7 +24,7 @@ def main():
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    results = np.load(f"./toy/results/{args.method}-{args.id}.npz")
+    results = np.load(f"{_EXP}/toy/results/{args.method}-{args.id}.npz")
     samples = results["samples"]
     if samples.ndim == 3:
         samples = samples[0]
@@ -31,8 +35,8 @@ def main():
         ax.axhline(results["gp_mean"][dim], color="k", ls="--", lw=1)
         ax.set_ylabel(f"dim {dim}")
     axes[-1].set_xlabel("MCMC iteration")
-    os.makedirs("./toy/figs", exist_ok=True)
-    out = f"./toy/figs/trace-{args.method}-{args.id}.png"
+    os.makedirs(f"{_EXP}/toy/figs", exist_ok=True)
+    out = f"{_EXP}/toy/figs/trace-{args.method}-{args.id}.png"
     plt.savefig(out, dpi=150)
     print(f"Saved {out}")
 

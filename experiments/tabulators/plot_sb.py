@@ -5,6 +5,10 @@ import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _common import setup as _setup, experiments_dir as _expdir  # noqa: E402
+_setup()
+_EXP = _expdir()
 
 import numpy as np
 
@@ -21,7 +25,7 @@ def main():
     for np_ in args.nparticles:
         kls, bures = [], []
         for mc_id in range(args.max_mcs):
-            path = f"./sb/results/{args.method}-{np_}-{mc_id}.npz"
+            path = f"{_EXP}/sb/results/{args.method}-{np_}-{mc_id}.npz"
             if not os.path.exists(path):
                 continue
             r = np.load(path)

@@ -5,6 +5,10 @@ import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _common import setup as _setup, experiments_dir as _expdir  # noqa: E402
+_setup()
+_EXP = _expdir()
 
 import numpy as np
 
@@ -27,7 +31,7 @@ def main():
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    head = f"./sb_imgs/results/mnist-{args.rate}-{args.sde}-{args.nparticles}-{args.y0_id}"
+    head = f"{_EXP}/sb_imgs/results/mnist-{args.rate}-{args.sde}-{args.nparticles}-{args.y0_id}"
     rows, labels = [], []
     for init in args.inits:
         f = head + f"-{args.method}-{init}.npy"

@@ -9,6 +9,10 @@ import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _common import setup as _setup, experiments_dir as _expdir  # noqa: E402
+_setup()
+_EXP = _expdir()
 
 import matplotlib
 matplotlib.use("Agg")
@@ -35,7 +39,7 @@ def main():
     parser.add_argument("--x0_type", type=str, default="blank")
     parser.add_argument("--gibbs_method", type=str, default="gibbs-eb-ef")
     parser.add_argument("--max_nsamples", type=int, default=30)
-    parser.add_argument("--results_dir", type=str, default="./sb_imgs/results")
+    parser.add_argument("--results_dir", type=str, default=f"{_EXP}/sb_imgs/results")
     args = parser.parse_args()
 
     head = (f"{args.results_dir}/{args.dataset}-{args.rate}-{args.sde}"
@@ -78,8 +82,8 @@ def main():
                         interval=1000 // fps, blit=False)
     plt.tight_layout(pad=0.1)
     plt.subplots_adjust(top=0.905)
-    os.makedirs("./figs", exist_ok=True)
-    out = f"./figs/sb-imgs-anime-{args.y0_id}.gif"
+    os.makedirs(f"{_EXP}/figs", exist_ok=True)
+    out = f"{_EXP}/figs/sb-imgs-anime-{args.y0_id}.gif"
     ani.save(out, fps=fps)
     print(f"saved {out}")
 

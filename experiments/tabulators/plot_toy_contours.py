@@ -5,6 +5,10 @@ import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _common import setup as _setup, experiments_dir as _expdir  # noqa: E402
+_setup()
+_EXP = _expdir()
 
 import numpy as np
 
@@ -25,7 +29,7 @@ def main():
     fig, axes = plt.subplots(ncols=len(args.methods), figsize=(5 * len(args.methods), 4),
                              sharex=True, sharey=True)
     for ax, method in zip(np.atleast_1d(axes), args.methods):
-        results = np.load(f"./toy/results/{method}-{args.id}.npz")
+        results = np.load(f"{_EXP}/toy/results/{method}-{args.id}.npz")
         samples = results["samples"]
         if samples.ndim == 3:
             samples = samples.reshape(-1, samples.shape[-1])
@@ -40,8 +44,8 @@ def main():
         ell = (vecs @ (2 * np.sqrt(vals)[:, None] * circ)).T + gp_mean[[i, j]]
         ax.plot(ell[:, 0], ell[:, 1], "k--", lw=1.5)
         ax.set_title(method)
-    os.makedirs("./toy/figs", exist_ok=True)
-    out = f"./toy/figs/contours-{args.id}.png"
+    os.makedirs(f"{_EXP}/toy/figs", exist_ok=True)
+    out = f"{_EXP}/toy/figs/contours-{args.id}.png"
     plt.savefig(out, dpi=150)
     print(f"Saved {out}")
 

@@ -13,6 +13,10 @@ import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _common import setup as _setup, experiments_dir as _expdir  # noqa: E402
+_setup()
+_EXP = _expdir()
 
 import jax
 import jax.numpy as jnp
@@ -52,7 +56,8 @@ def main():
     parser.add_argument("--sde", type=str, default="lin")
     parser.add_argument("--nparticles", type=int, default=100)
     parser.add_argument("--method", type=str, default="gibbs-eb")
-    parser.add_argument("--ny0s", type=int, default=100)
+    parser.add_argument("--ny0s", type=int, default=None,
+                        help="y0 count; default: every committed y0 id found on disk")
     args = parser.parse_args()
 
     lpips_fn = _try_lpips()
@@ -60,7 +65,13 @@ def main():
     ssim_j = jax.jit(jax.vmap(ssim, in_axes=[None, 0]))
 
     psnrs, ssims, lpipss = [], [], []
-    base = f"./imgs/results_{args.task}"
+    base = f"{_EXP}/imgs/results_{args.task}"
+    if args.ny0s is None:
+        pat = f"{base}/{args.dataset}-{args.size}-{args.sde}-{args.nparticles}-*-{args.method}.npy"
+        suffix = f"-{args.method}.npy"
+        ids = sorted(int(os.path.basename(p)[:-len(suffix)].split("-")[-1])
+                     for p in glob.glob(pat))
+        args.ny0s = (max(ids) + 1) if ids else 0
     for k in range(args.ny0s):
         head = f"{base}/{args.dataset}-{args.size}-{args.sde}-{args.nparticles}-{k}"
         truth_file = head + "-true.npz"
@@ -76,9 +87,8 @@ def main():
         if lpips_fn is not None:
             lpipss.extend(lpips_fn(true_img, s) for s in samples)
 
-    if not psnrs:
-        print("No results found.")
-        return
+    from _common import fail_if_empty
+    fail_if_empty(len(psnrs), f"{args.task}-{args.size} {args.method} results under {base}")
     psnrs = np.concatenate(psnrs)
     ssims = np.concatenate(ssims)
     msg = (f"{args.dataset} {args.task}-{args.size} {args.method} | "

@@ -9,6 +9,10 @@ import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _common import setup as _setup, experiments_dir as _expdir  # noqa: E402
+_setup()
+_EXP = _expdir()
 
 import jax
 import jax.numpy as jnp
@@ -19,7 +23,12 @@ from functools import partial
 from fbs_tpu.math import kl, bures_dist
 
 
-def tabulate(method: str, max_mcs: int, results_dir: str = "./toy/results"):
+def tabulate(method: str, max_mcs=None, results_dir: str = f"{_EXP}/toy/results"):
+    if max_mcs is None:  # default to every committed repetition on disk
+        import glob
+        max_mcs = len(glob.glob(os.path.join(results_dir, f"{method}-*.npz")))
+        if max_mcs == 0:
+            raise FileNotFoundError(f"no {method}-*.npz under {results_dir}")
     errs = {k: np.zeros((max_mcs,)) for k in
             ("m", "var", "kl", "bures", "skew", "kurt")}
 
@@ -63,7 +72,8 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--sde", type=str, default="const")
     parser.add_argument("--nparticles", type=int, default=100)
-    parser.add_argument("--max_mcs", type=int, default=100)
+    parser.add_argument("--max_mcs", type=int, default=None,
+                        help="MC repetitions; default: every committed rep found on disk")
     args = parser.parse_args()
 
     methods = [f"filter-{args.sde}-{args.nparticles}",
@@ -73,11 +83,15 @@ def main():
                f"twisted-{args.sde}-{args.nparticles}",
                f"csgm-{args.sde}",
                "kf"]
+    n_ok = 0
     for method in methods:
         try:
             tabulate(method, args.max_mcs)
+            n_ok += 1
         except FileNotFoundError as e:
             print(f"Method {method} | missing results ({e})")
+    from _common import fail_if_empty
+    fail_if_empty(n_ok, f"toy result files under {_EXP}/toy/results")
 
 
 if __name__ == "__main__":

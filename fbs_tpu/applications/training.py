@@ -61,14 +61,23 @@ def train_score_model(key: JKey,
                       checkpoint_every: int = 100,
                       checkpoint_path: Optional[str] = None,
                       log_every: int = 100,
-                      log_fn: Callable = print):
+                      log_fn: Callable = print,
+                      init_ema_param: Optional[JArray] = None,
+                      start_epoch: int = 0):
     """Epoch loop over randomly permuted batches with EMA and checkpoints.
 
-    Returns ``(param, ema_param)``.
+    ``start_epoch`` warm-starts a run from a ``(param, ema_param)`` npz
+    checkpoint: the LR schedule is offset to the step count already taken
+    (optimiser moments restart — the reference format stores no optimiser
+    state, SURVEY.md section 5), and the loop runs epochs
+    ``start_epoch..nepochs-1``.  Returns ``(param, ema_param)``.
     """
     data_size = dataset.n
     nsteps_per_epoch = data_size // batch_size
     sched = make_lr_schedule(schedule, lr, nepochs, nsteps_per_epoch)
+    if start_epoch:
+        base_sched, offset = sched, start_epoch * nsteps_per_epoch
+        sched = lambda count: base_sched(count + offset)
     optimiser = make_optimiser(sched, grad_clip)
 
     if mesh is not None:
@@ -77,10 +86,10 @@ def train_score_model(key: JKey,
 
     optax_kernel, ema_kernel = make_optax_kernel(optimiser, loss_fn, jit=True)
     param = init_param
-    ema_param = param
+    ema_param = param if init_ema_param is None else init_ema_param
     opt_state = optimiser.init(param)
 
-    for i in range(nepochs):
+    for i in range(start_epoch, nepochs):
         key, subkey = jax.random.split(key)
         perm_inds = dataset.init_enumeration(subkey, batch_size)
         for j in range(nsteps_per_epoch):
