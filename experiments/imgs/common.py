@@ -39,6 +39,14 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    help="Disable the fused transition+likelihood kernel.")
     p.add_argument("--shard_particles", action="store_true", default=False,
                    help="Shard the particle axis over all local devices.")
+    p.add_argument("--sweeps_per_dispatch", type=int, default=10,
+                   help="MCMC iterations per device dispatch (lax.scan chunk). "
+                        "Keeps the host loop off the hot path; key sequence "
+                        "is identical to one-iteration dispatches.")
+    p.add_argument("--save_png_every", type=int, default=10,
+                   help="Save a per-iteration PNG every this many iterations "
+                        "(0: only the final one). The npy sample stack always "
+                        "contains every iteration.")
     return p
 
 
@@ -164,15 +172,24 @@ def run_restoration(args, task: str, results_dir: str, size_tag) -> None:
         save_true_artifacts(head, test_img, test_y0, mask, dataset, nchannels)
 
         restored_imgs = np.zeros((nsamples, resolution, resolution, nchannels))
+        chunk = max(1, args.sweeps_per_dispatch)
+        png_every = args.save_png_every
+
+        def flush(i0, x0s, tag):
+            """Write the chunk's draws into the stack + periodic PNGs."""
+            imgs = np.asarray(jax.vmap(lambda x: dataset.concat(x, test_y0, mask))(x0s))
+            restored_imgs[i0:i0 + imgs.shape[0]] = imgs
+            for i in range(i0, i0 + imgs.shape[0]):
+                if (png_every and i % png_every == 0) or i == nsamples - 1:
+                    save_image(head + f"-{tag}-{i}.png", imgs[i - i0], nchannels)
 
         if args.method == "filter":
-            for i in range(nsamples):
-                key, subkey = jax.random.split(key)
-                x0, _ = sampler.filter_init(subkey, test_y0, mask, marg_y=args.marg)
-                restored = dataset.concat(x0, test_y0, mask)
-                restored_imgs[i] = restored
-                save_image(head + f"-filter-{i}.png", restored, nchannels)
-                print(f"{task} | filter | iter: {i}")
+            for i0 in range(0, nsamples, chunk):
+                m = min(chunk, nsamples - i0)
+                key, x0s = sampler.filter_draws(key, test_y0, mask, m,
+                                                marg_y=args.marg)
+                flush(i0, x0s, "filter")
+                print(f"{task} | filter | iters {i0}..{i0 + m - 1}")
             np.save(head + "-filter", restored_imgs)
         elif "gibbs" in args.method:
             key, subkey = jax.random.split(key)
@@ -182,29 +199,26 @@ def run_restoration(args, task: str, results_dir: str, size_tag) -> None:
             restored = dataset.concat(x0, test_y0, mask)
             save_image(head + "-gibbs-init.png", restored, nchannels)
             np.save(head + "-gibbs-init", np.asarray(restored))
-            for i in range(nsamples):
-                key, subkey = jax.random.split(key)
-                x0, us_star, bs_star, acc = sampler.gibbs_step(
-                    subkey, x0, test_y0, us_star, bs_star, mask,
+            for i0 in range(0, nsamples, chunk):
+                m = min(chunk, nsamples - i0)
+                key, x0, us_star, bs_star, x0s, accs = sampler.gibbs_sweeps(
+                    key, x0, test_y0, us_star, bs_star, mask, m,
                     explicit_backward=eb, explicit_final=ef, marg_y=args.marg)
-                restored = dataset.concat(x0, test_y0, mask)
-                restored_imgs[i] = restored
-                save_image(head + f"-{args.method}-{i}.png", restored, nchannels)
-                print(f"{task} | Gibbs | iter: {i}, acc: {jnp.mean(acc):.3f}")
+                flush(i0, x0s, args.method)
+                print(f"{task} | Gibbs | iters {i0}..{i0 + m - 1}, "
+                      f"acc: {float(jnp.mean(accs)):.3f}")
             np.save(head + f"-{args.method}", restored_imgs)
         elif "pmcmc" in args.method:
             key, subkey = jax.random.split(key)
             x0, log_ell = jnp.zeros(dataset.unobs_shape), 0.0
             ys = sampler.fwd_ys_sampler(subkey, test_y0)
-            for i in range(nsamples):
-                key, subkey = jax.random.split(key)
-                x0, log_ell, ys, state = sampler.pmcmc_step(subkey, x0, log_ell, ys,
-                                                            test_y0, mask, delta=delta)
-                restored = dataset.concat(x0, test_y0, mask)
-                restored_imgs[i] = restored
-                save_image(head + f"-pmcmc-{delta}-{i}.png", restored, nchannels)
-                print(f"{task} | pMCMC {delta} | iter: {i}, "
-                      f"acc_prob: {float(state.acceptance_prob):.3f}")
+            for i0 in range(0, nsamples, chunk):
+                m = min(chunk, nsamples - i0)
+                key, x0, log_ell, ys, x0s, acc_probs = sampler.pmcmc_sweeps(
+                    key, x0, log_ell, ys, test_y0, mask, m, delta=delta)
+                flush(i0, x0s, f"pmcmc-{delta}")
+                print(f"{task} | pMCMC {delta} | iters {i0}..{i0 + m - 1}, "
+                      f"mean acc_prob: {float(jnp.mean(acc_probs)):.3f}")
             np.save(head + f"-pmcmc-{delta}", restored_imgs)
         else:
             raise ValueError(f"Unknown method {args.method}")

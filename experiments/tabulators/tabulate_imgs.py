@@ -58,6 +58,9 @@ def main():
     parser.add_argument("--method", type=str, default="gibbs-eb")
     parser.add_argument("--ny0s", type=int, default=None,
                         help="y0 count; default: every committed y0 id found on disk")
+    parser.add_argument("--results_dir", type=str, default=None,
+                        help="Artifact root (default: experiments/imgs/"
+                             "results_<task> next to this script)")
     args = parser.parse_args()
 
     lpips_fn = _try_lpips()
@@ -65,7 +68,7 @@ def main():
     ssim_j = jax.jit(jax.vmap(ssim, in_axes=[None, 0]))
 
     psnrs, ssims, lpipss = [], [], []
-    base = f"{_EXP}/imgs/results_{args.task}"
+    base = args.results_dir or f"{_EXP}/imgs/results_{args.task}"
     if args.ny0s is None:
         pat = f"{base}/{args.dataset}-{args.size}-{args.sde}-{args.nparticles}-*-{args.method}.npy"
         suffix = f"-{args.method}.npy"

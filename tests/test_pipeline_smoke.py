@@ -62,6 +62,7 @@ def test_inpainting_then_tabulate(tmp_path, monkeypatch, capsys, method):
     _run_main(tabulate_imgs, [
         "--task", "inpainting", "--dataset", "mnist", "--size", "15",
         "--nparticles", "4", "--method", method, "--ny0s", "1",
+        "--results_dir", "./imgs/results_inpainting",
     ])
     out = capsys.readouterr().out
     assert "PSNR" in out and "SSIM" in out, out
