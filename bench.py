@@ -23,7 +23,7 @@ REFERENCE_PARTICLE_STEPS_PER_SEC = 12_500.0
 
 
 def build_sweep(nparticles: int, nsteps: int, dim: int, image_shape, compute_dtype,
-                task: str = "inpaint-15", xs=None):
+                task: str = "inpaint-15", xs=None, microbatch: int = 1):
     """Build a jitted Gibbs sweep closure on synthetic (or provided) images."""
     from fbs_tpu.data import ImageRestore
     from fbs_tpu.nn import UNet, make_st_nn
@@ -67,7 +67,8 @@ def build_sweep(nparticles: int, nsteps: int, dim: int, image_shape, compute_dty
 
     (transition_sampler, transition_logpdf,
      likelihood_logpdf, fused_kernel) = make_separable_kernels(
-        reverse_drift_joint, reverse_dispersion, concat_batched, unpack_batched, dt)
+        reverse_drift_joint, reverse_dispersion, concat_batched, unpack_batched, dt,
+        microbatch=microbatch)
 
     def fwd_sampler(key_, x0_, y0_):
         joint0 = dataset.concat(x0_, y0_, mask)

@@ -40,6 +40,9 @@ def main():
     parser.add_argument("--resolution", type=int, default=256)
     parser.add_argument("--task", type=str, default="inpaint-64")
     parser.add_argument("--nreps", type=int, default=1)
+    parser.add_argument("--microbatch", type=int, default=1,
+                        help="Sequential score-eval chunks per step (fit knob: "
+                             "N=128 at 256^2 needs 2 on a 16 GB chip).")
     parser.add_argument("--data", type=str, default="./datasets/celeba_hq256.npy")
     args = parser.parse_args()
 
@@ -57,7 +60,7 @@ def main():
         try:
             sweep, (x0, us_star, bs_star) = bench.build_sweep(
                 n, args.nsteps, args.dim, shape, default_compute_dtype(),
-                task=args.task, xs=xs)
+                task=args.task, xs=xs, microbatch=args.microbatch)
             key = jax.random.PRNGKey(0)
             t0 = time.perf_counter()
             x0_, us_, bs_, _ = sweep(key, x0, us_star, bs_star)
@@ -78,6 +81,7 @@ def main():
                 "task": args.task,
                 "nparticles": n,
                 "nsteps": args.nsteps,
+                "microbatch": args.microbatch,
                 "sec_per_sweep": round(sec, 2),
                 "particle_steps_per_sec": round(n * args.nsteps / sec, 1),
                 "compile_and_first_sweep_sec": round(compile_and_first, 1),

@@ -79,6 +79,9 @@ class RestorationSampler:
     # reference's choice), "multinomial", or "systematic" (this framework
     # implements the conditional variant the reference lacks).
     cond_resampling: str = "killing"
+    # Evaluate the score over the particle batch in this many sequential
+    # chunks (peak-HBM knob for 256^2 at large N; see make_separable_kernels).
+    score_microbatch: int = 1
     # Overrides for non-score-based models (e.g. learned Schrodinger-bridge
     # drifts, reference ``experiments/sb_imgs/supr.py:84-137``): a custom
     # joint reverse drift f(uv, t) and a custom forward path sampler
@@ -123,7 +126,8 @@ class RestorationSampler:
         (transition_sampler, transition_logpdf,
          likelihood_logpdf, fused_kernel) = make_separable_kernels(
             self.reverse_drift, self.reverse_dispersion,
-            concat_batched, unpack_batched, dt)
+            concat_batched, unpack_batched, dt,
+            microbatch=self.score_microbatch)
 
         self.take_fn = None
         if self.mesh is not None:

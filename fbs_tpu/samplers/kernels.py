@@ -43,7 +43,8 @@ def make_separable_kernels(reverse_drift_joint: Callable,
                            reverse_dispersion: Callable,
                            concat: Callable,
                            unpack: Callable,
-                           dt: FloatScalar) -> Tuple[Callable, Callable, Callable, Callable]:
+                           dt: FloatScalar,
+                           microbatch: int = 1) -> Tuple[Callable, Callable, Callable, Callable]:
     """Build ``(transition_sampler, transition_logpdf, likelihood_logpdf,
     fused_kernel)`` from a joint reverse drift.
 
@@ -65,6 +66,13 @@ def make_separable_kernels(reverse_drift_joint: Callable,
     identifying per-observation index sets, as in the image-restoration
     tasks) are forwarded to ``concat``/``unpack``.
 
+    ``microbatch > 1`` evaluates the joint drift over the particle batch in
+    that many sequential chunks (``lax.map``), so only one chunk's network
+    activations are live at a time — the single-chip fit knob for large
+    particle counts at high resolution (256^2 N=128 needs 20.1 GB of
+    activations at once on one 16 GB chip; two chunks fit).  The per-sample
+    math is unchanged, so results match the unchunked kernels.
+
     Returns
     -------
     The three reference-API closures plus the fused kernel
@@ -73,9 +81,20 @@ def make_separable_kernels(reverse_drift_joint: Callable,
     the likelihood weights.
     """
 
+    def _eval_drift(joint, t_prev):
+        if microbatch <= 1:
+            return reverse_drift_joint(joint, t_prev)
+        n = joint.shape[0]
+        if n % microbatch:
+            raise ValueError(f"particle count {n} not divisible by "
+                             f"microbatch {microbatch}")
+        chunks = joint.reshape(microbatch, n // microbatch, *joint.shape[1:])
+        out = jax.lax.map(lambda c: reverse_drift_joint(c, t_prev), chunks)
+        return out.reshape(n, *out.shape[2:])
+
     def _joint_drift_parts(us_prev, v_prev, t_prev, kwargs):
         joint = concat(us_prev, v_prev, **kwargs)
-        drift = reverse_drift_joint(joint, t_prev)
+        drift = _eval_drift(joint, t_prev)
         return unpack(drift, **kwargs)
 
     def transition_sampler(us_prev, v_prev, t_prev, key, **kwargs):
