@@ -26,6 +26,10 @@ from fbs_tpu.metrics import psnr, ssim
 
 
 def _try_lpips():
+    """Return ``(label, compute)`` — official torch lpips if importable, else
+    the JAX port with converted official weights if the user dropped them at
+    ``experiments/weights/lpips_alexnet.npz``, else the documented
+    random-feature substitute (``fbs_tpu/metrics_lpips.py``)."""
     try:
         import lpips  # noqa: F401
         import torch
@@ -42,9 +46,25 @@ def _try_lpips():
             with torch.no_grad():
                 return float(net(to_t(ref), to_t(img)))
 
-        return compute
+        return "LPIPS", compute
     except Exception:
-        return None
+        pass
+
+    from fbs_tpu.metrics_lpips import lpips_distance, random_params
+
+    weights_file = os.path.join(_EXP, "weights", "lpips_alexnet.npz")
+    if os.path.exists(weights_file):
+        loaded = np.load(weights_file)
+        params = {k: jnp.asarray(loaded[k]) for k in loaded.files}
+        label = "LPIPS"
+    else:
+        params = random_params(seed=0)
+        label = "lpips-rand"  # NOT comparable to published LPIPS numbers
+
+    def compute(ref, img):
+        return float(lpips_distance(params, jnp.asarray(ref), jnp.asarray(img)))
+
+    return label, compute
 
 
 def main():
@@ -63,7 +83,7 @@ def main():
                              "results_<task> next to this script)")
     args = parser.parse_args()
 
-    lpips_fn = _try_lpips()
+    lpips_label, lpips_fn = _try_lpips()
     psnr_j = jax.jit(jax.vmap(psnr, in_axes=[None, 0]))
     ssim_j = jax.jit(jax.vmap(ssim, in_axes=[None, 0]))
 
@@ -87,7 +107,9 @@ def main():
             continue
         psnrs.append(np.asarray(psnr_j(jnp.asarray(true_img), jnp.asarray(samples))))
         ssims.append(np.asarray(ssim_j(jnp.asarray(true_img), jnp.asarray(samples))))
-        if lpips_fn is not None:
+        # The AlexNet trunk degenerates below ~32 px; the reference computes
+        # LPIPS for the non-MNIST datasets only (BASELINE.md) — same here.
+        if lpips_fn is not None and min(true_img.shape[:2]) >= 32:
             lpipss.extend(lpips_fn(true_img, s) for s in samples)
 
     from _common import fail_if_empty
@@ -99,9 +121,9 @@ def main():
            f"SSIM {ssims.mean():.4f} +- {ssims.std():.4f}")
     if lpipss:
         lp = np.asarray(lpipss)
-        msg += f" | LPIPS {lp.mean():.4f} +- {lp.std():.4f}"
+        msg += f" | {lpips_label} {lp.mean():.4f} +- {lp.std():.4f}"
     else:
-        msg += " | LPIPS skipped (lpips/torch weights unavailable)"
+        msg += " | LPIPS skipped (resolution < 32; reference computes it for non-MNIST only)"
     print(msg)
 
 

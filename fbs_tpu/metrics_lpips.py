@@ -1,0 +1,149 @@
+"""LPIPS perceptual distance in JAX (AlexNet backbone).
+
+The reference computes LPIPS with the ``lpips`` torch package
+(``/root/reference/experiments/tabulators/tabulate_imgs.py:5-9,49-80``),
+which needs two downloads: torchvision's pretrained AlexNet and the LPIPS
+linear-calibration heads.  Neither is obtainable in a no-egress environment,
+so this module provides:
+
+1. the exact LPIPS *computation graph* in JAX — AlexNet feature trunk,
+   per-layer unit normalisation, squared difference, non-negative 1x1
+   calibration heads, spatial averaging, layer sum — with a loader
+   (:func:`params_from_torch_state_dicts`) that consumes the official
+   torchvision + lpips state dicts when the user supplies the files; with
+   those weights the metric IS LPIPS(AlexNet);
+2. a deterministic random-feature fallback (:func:`random_params`): the same
+   graph with seeded He-initialised convolutions and uniform heads.  Random
+   CNN features are a documented, surprisingly strong perceptual metric
+   (Amir & Weiss, "Understanding and Simplifying Perceptual Distances",
+   CVPR 2021 — random VGG/AlexNet features track human judgements far better
+   than pixel L2).  Scores from the fallback are *not* comparable to
+   published LPIPS numbers and are labelled ``lpips-rand`` by the tabulator.
+
+The architecture port is validated against a hand-written torch twin under
+shared random weights in ``tests/test_lpips.py`` (torch CPU is available
+offline; torchvision is not).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["alexnet_feature_stack", "lpips_distance", "random_params",
+           "params_from_torch_state_dicts"]
+
+# AlexNet `features` trunk (torchvision layout): (out_c, in_c, kernel, stride, pad),
+# with ReLU taps after each conv and 3x3/2 max-pools after convs 1, 2 and 5.
+_ALEXNET_CONVS: List[Tuple[int, int, int, int, int]] = [
+    (64, 3, 11, 4, 2),
+    (192, 64, 5, 1, 2),
+    (384, 192, 3, 1, 1),
+    (256, 384, 3, 1, 1),
+    (256, 256, 3, 1, 1),
+]
+_POOL_AFTER = {0, 1, 4}
+
+# LPIPS input scaling layer (lpips/lpips.py ScalingLayer): applied to inputs
+# in [-1, 1].
+_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
+
+
+def _conv(x, w, b, stride, pad):
+    # x: (n, c, h, w); w: (out, in, kh, kw) — torch OIHW layout throughout so
+    # torch state dicts load without transposition.
+    w = jnp.asarray(w, x.dtype)
+    b = jnp.asarray(b, x.dtype)
+    out = jax.lax.conv_general_dilated(
+        x, w, (stride, stride), [(pad, pad), (pad, pad)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    return out + b[None, :, None, None]
+
+
+def _maxpool(x):
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 1, 3, 3), (1, 1, 2, 2), "VALID")
+
+
+def alexnet_feature_stack(params: Dict, x: jnp.ndarray) -> List[jnp.ndarray]:
+    """ReLU taps of the 5 AlexNet conv stages.  ``x``: (n, 3, h, w) in [-1, 1]."""
+    x = (x - jnp.asarray(_SHIFT)[None, :, None, None]) / jnp.asarray(_SCALE)[None, :, None, None]
+    taps = []
+    for i, (_, _, _, stride, pad) in enumerate(_ALEXNET_CONVS):
+        x = _conv(x, params[f"conv{i}_w"], params[f"conv{i}_b"], stride, pad)
+        x = jax.nn.relu(x)
+        taps.append(x)
+        if i in _POOL_AFTER:
+            x = _maxpool(x)
+    return taps
+
+
+def _unit_normalize(f, eps=1e-10):
+    return f / jnp.sqrt(jnp.sum(f ** 2, axis=1, keepdims=True) + eps)
+
+
+def lpips_distance(params: Dict, img0: jnp.ndarray, img1: jnp.ndarray) -> jnp.ndarray:
+    """LPIPS(img0, img1) for (n, h, w, c) images in [0, 1] (c in {1, 3}).
+
+    Matches ``lpips.LPIPS(net='alex')`` given converted official weights;
+    with :func:`random_params` it is the random-feature substitute.
+    """
+    def prep(x):
+        x = jnp.asarray(x, jnp.float32)
+        if x.ndim == 3:
+            x = x[None]
+        if x.shape[-1] == 1:
+            x = jnp.repeat(x, 3, axis=-1)
+        return jnp.moveaxis(x, -1, 1) * 2.0 - 1.0  # NHWC [0,1] -> NCHW [-1,1]
+
+    f0s = alexnet_feature_stack(params, prep(img0))
+    f1s = alexnet_feature_stack(params, prep(img1))
+    total = 0.0
+    for i, (f0, f1) in enumerate(zip(f0s, f1s)):
+        d = (_unit_normalize(f0) - _unit_normalize(f1)) ** 2  # (n, c, h, w)
+        w = params[f"lin{i}_w"]  # (c,) non-negative calibration head
+        total = total + jnp.mean(jnp.sum(d * w[None, :, None, None], axis=1),
+                                 axis=(1, 2))
+    return jnp.squeeze(total)
+
+
+def random_params(seed: int = 0) -> Dict:
+    """Deterministic He-initialised trunk + uniform heads (the documented
+    random-feature fallback — see module docstring)."""
+    key = jax.random.PRNGKey(seed)
+    params = {}
+    for i, (out_c, in_c, k, _, _) in enumerate(_ALEXNET_CONVS):
+        key, sub = jax.random.split(key)
+        fan_in = in_c * k * k
+        params[f"conv{i}_w"] = (jax.random.normal(sub, (out_c, in_c, k, k),
+                                                  dtype=jnp.float32)
+                                * np.float32(np.sqrt(2.0 / fan_in)))
+        params[f"conv{i}_b"] = jnp.zeros((out_c,), jnp.float32)
+        params[f"lin{i}_w"] = jnp.full((out_c,), 1.0 / out_c, jnp.float32)
+    return params
+
+
+def params_from_torch_state_dicts(alexnet_sd: Dict, lpips_sd: Dict) -> Dict:
+    """Convert official torch state dicts to this module's param dict.
+
+    ``alexnet_sd``: torchvision ``alexnet().state_dict()`` (keys
+    ``features.{0,3,6,8,10}.{weight,bias}``); ``lpips_sd``: the ``lpips``
+    package checkpoint (keys ``lin{0..4}.model.1.weight`` with shape
+    (1, c, 1, 1)).  Values may be torch tensors or numpy arrays.
+    """
+    def arr(v):
+        return jnp.asarray(np.asarray(getattr(v, "detach", lambda: v)().cpu())
+                           if hasattr(v, "detach") else np.asarray(v))
+
+    feature_idx = [0, 3, 6, 8, 10]
+    params = {}
+    for i, fi in enumerate(feature_idx):
+        params[f"conv{i}_w"] = arr(alexnet_sd[f"features.{fi}.weight"])
+        params[f"conv{i}_b"] = arr(alexnet_sd[f"features.{fi}.bias"])
+        lin = lpips_sd.get(f"lin{i}.model.1.weight",
+                           lpips_sd.get(f"lins.{i}.model.1.weight"))
+        params[f"lin{i}_w"] = jnp.reshape(arr(lin), (-1,))
+    return params
