@@ -47,8 +47,15 @@ def build_sweep(nparticles: int, nsteps: int, dim: int, image_shape, compute_dty
     # In the ImageRestore representation the joint (x, y) state IS the full
     # image (x = unobserved pixels, y = observed pixels), so the score net
     # sees c channels (reference experiments/imgs/inpainting.py:102-115).
-    unet = UNet(dt=T / 200, dim=dim, dim_mults=(1, 2, 4), compute_dtype=compute_dtype)
-    param, _, nn_score = make_st_nn(key, unet, (h, w, c), batch_size=2)
+    unet = UNet(dt=T / 200, dim=dim, dim_mults=(1, 2, 4), compute_dtype=compute_dtype,
+                ws_frozen=True)
+    param, array_to_dict, nn_score = make_st_nn(key, unet, (h, w, c), batch_size=2)
+    # Params are frozen during the sweep: pre-apply weight standardisation
+    # (bitwise identical; drops per-forward f32 kernel stats).
+    from jax.flatten_util import ravel_pytree
+
+    from fbs_tpu.nn import standardize_ws_kernels
+    param = ravel_pytree(standardize_ws_kernels(array_to_dict(param)))[0]
 
     def reverse_drift_joint(imgs, t):
         # imgs: (n, h, w, c) re-assembled joint state; score net in bf16.

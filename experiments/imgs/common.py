@@ -37,6 +37,9 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    help="Run the score UNet in bfloat16 on the MXU.")
     p.add_argument("--no_fused", action="store_true", default=False,
                    help="Disable the fused transition+likelihood kernel.")
+    p.add_argument("--no_ws_frozen", action="store_true", default=False,
+                   help="Recompute weight standardisation per forward instead "
+                        "of pre-applying it to the frozen sampling params.")
     p.add_argument("--shard_particles", action="store_true", default=False,
                    help="Shard the particle axis over all local devices.")
     p.add_argument("--sweeps_per_dispatch", type=int, default=10,
@@ -81,16 +84,25 @@ def resolve_sde(args, T: float):
 
 
 def load_score_network(args, key, image_shape, T: float):
-    from fbs_tpu.nn import UNet, make_st_nn, default_compute_dtype
+    from fbs_tpu.nn import (UNet, make_st_nn, default_compute_dtype,
+                            standardize_ws_kernels)
 
     dtype = default_compute_dtype() if args.bf16 else jnp.float32
+    # Parameters are frozen for the whole sampling program, so weight
+    # standardisation is pre-applied once (bitwise identical; skips the
+    # per-forward f32 kernel statistics on every one of the K*N score evals).
+    ws_frozen = not getattr(args, "no_ws_frozen", False)
     unet = UNet(dt=T / 200, dim=args.unet_dim, upsampling="pixel_shuffle",
-                compute_dtype=dtype)
-    _, _, nn_score = make_st_nn(key, unet, image_shape, batch_size=2)
+                compute_dtype=dtype, ws_frozen=ws_frozen)
+    _, array_to_dict, nn_score = make_st_nn(key, unet, image_shape, batch_size=2)
 
     filename = f"./checkpoints/{args.dataset}_{args.sde}_{args.test_epoch}.npz"
-    param = np.load(filename)["ema_param" if args.test_ema else "param"]
-    return nn_score, jnp.asarray(param)
+    param = jnp.asarray(np.load(filename)["ema_param" if args.test_ema else "param"])
+    if ws_frozen:
+        from jax.flatten_util import ravel_pytree
+
+        param = ravel_pytree(standardize_ws_kernels(array_to_dict(param)))[0]
+    return nn_score, param
 
 
 def build_sampler(args, task: str, T: float = 2.0):

@@ -44,6 +44,43 @@ def default_compute_dtype() -> Any:
     return jnp.bfloat16 if platform == "tpu" else jnp.float32
 
 
+def _standardize_kernel(kernel, eps=1e-5):
+    """Weight standardisation in f32 (Qiao et al. 2019)."""
+    redux = tuple(range(kernel.ndim - 1))
+    mean = jnp.mean(kernel, axis=redux, keepdims=True)
+    var = jnp.var(kernel, axis=redux, keepdims=True)
+    return (kernel - mean) * jax.lax.rsqrt(var + eps)
+
+
+def standardize_ws_kernels(params):
+    """Pre-apply weight standardisation to every WSConv kernel in a param
+    pytree, for use with ``UNet(ws_frozen=True)``.
+
+    During sampling the parameters are constant for the whole program, yet
+    the per-forward WS statistics (an f32 reduce + rsqrt per conv, ~17 convs
+    in the dim-64 UNet) were
+    re-computed at every one of the K*N score
+    evaluations of a Gibbs sweep — part of the 34.8% norm-statistics time in
+    the round-2 TPU profile.  Applying them once here is bitwise identical:
+    the standardised f32 kernel is cast to the compute dtype at use exactly
+    as the in-graph path does.
+    """
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for k, v in node.items():
+            if k.startswith("WSConv") and isinstance(v, dict) and "kernel" in v:
+                v = dict(v)
+                v["kernel"] = _standardize_kernel(v["kernel"])
+            else:
+                v = walk(v)
+            out[k] = v
+        return out
+
+    return walk(dict(params))
+
+
 class WSConv(nn.Module):
     """3x3 (by default) convolution with weight standardisation
     (Qiao et al. 2019); the standardisation is computed in f32 regardless of
@@ -58,6 +95,10 @@ class WSConv(nn.Module):
     kernel_size: Tuple[int, int] = (3, 3)
     padding: Any = 1
     dtype: Any = jnp.float32
+    # False: the kernel parameter is assumed ALREADY standardised (see
+    # standardize_ws_kernels) — skips the per-forward f32 stats, a pure win
+    # on sampling paths where parameters are frozen for the whole program.
+    standardize: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -69,11 +110,10 @@ class WSConv(nn.Module):
             (*self.kernel_size, cin, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
 
-        eps = 1e-5
-        redux = tuple(range(kernel.ndim - 1))
-        mean = jnp.mean(kernel, axis=redux, keepdims=True)
-        var = jnp.var(kernel, axis=redux, keepdims=True)
-        kernel = ((kernel - mean) * jax.lax.rsqrt(var + eps)).astype(self.dtype)
+        if self.standardize:
+            kernel = _standardize_kernel(kernel).astype(self.dtype)
+        else:
+            kernel = kernel.astype(self.dtype)
 
         # Uniform compute dtype (no preferred_element_type: its conv VJP
         # produces mixed-dtype transposed convs, which lax rejects).  TPU
@@ -131,6 +171,7 @@ class ResBlock(nn.Module):
     groups: int = 8
     dtype: Any = jnp.float32
     fused_norms: bool = False
+    ws_frozen: bool = False
 
     @nn.compact
     def __call__(self, x, time_emb, skip=None):
@@ -145,18 +186,18 @@ class ResBlock(nn.Module):
             # nn.GroupNorm so checkpoints interoperate.
             from fbs_tpu.ops.norm_film_pallas import fused_group_norm_film_swish
 
-            h = WSConv(self.dim, dtype=self.dtype)(parts)
+            h = WSConv(self.dim, dtype=self.dtype, standardize=not self.ws_frozen)(parts)
             scale0, bias0 = _NormParams(self.dim, name="GroupNorm_0")()
             emb = nn.Dense(2 * self.dim, dtype=self.dtype)(nn.swish(time_emb))
             fs, fb = jnp.split(emb, 2, axis=-1)
             h = fused_group_norm_film_swish(h, scale0, bias0, fs, fb,
                                             groups=self.groups, swish=True)
-            h = WSConv(self.dim, dtype=self.dtype)(h)
+            h = WSConv(self.dim, dtype=self.dtype, standardize=not self.ws_frozen)(h)
             scale1, bias1 = _NormParams(self.dim, name="GroupNorm_1")()
             h = fused_group_norm_film_swish(h, scale1, bias1, None, None,
                                             groups=self.groups, swish=True)
         else:
-            h = WSConv(self.dim, dtype=self.dtype)(parts)
+            h = WSConv(self.dim, dtype=self.dtype, standardize=not self.ws_frozen)(parts)
             h = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype,
                              name="GroupNorm_0")(h)
 
@@ -165,7 +206,7 @@ class ResBlock(nn.Module):
             h = h * (1.0 + scale) + shift
             h = nn.swish(h)
 
-            h = WSConv(self.dim, dtype=self.dtype)(h)
+            h = WSConv(self.dim, dtype=self.dtype, standardize=not self.ws_frozen)(h)
             h = nn.swish(nn.GroupNorm(num_groups=self.groups, dtype=self.dtype,
                                       name="GroupNorm_1")(h))
 
@@ -370,6 +411,7 @@ class UNet(nn.Module):
     dim_mults: Tuple[int, ...] = (1, 2, 4)
     resnet_block_groups: int = 8
     fused_norms: bool = False  # one-pass Pallas GroupNorm (sampling only)
+    ws_frozen: bool = False  # kernels pre-standardised (standardize_ws_kernels)
     compute_dtype: Any = jnp.float32
 
     @nn.compact
@@ -398,10 +440,10 @@ class UNet(nn.Module):
         for ind in range(nres):
             dim_in = h.shape[-1]
             h = ResBlock(dim=dim_in, groups=self.resnet_block_groups, dtype=dtype,
-                         fused_norms=self.fused_norms)(h, t_emb)
+                         fused_norms=self.fused_norms, ws_frozen=self.ws_frozen)(h, t_emb)
             hs.append(h)
             h = ResBlock(dim=dim_in, groups=self.resnet_block_groups, dtype=dtype,
-                         fused_norms=self.fused_norms)(h, t_emb)
+                         fused_norms=self.fused_norms, ws_frozen=self.ws_frozen)(h, t_emb)
             h = AttnGate(linear=True, dtype=dtype, name=f"down_{ind}_attn")(h)
             hs.append(h)
             if ind < nres - 1:
@@ -412,11 +454,11 @@ class UNet(nn.Module):
         h = nn.Conv(mid_dim, kernel_size=(3, 3), padding=1, dtype=dtype,
                     name=f"down_{nres - 1}_proj")(h)
         h = ResBlock(dim=mid_dim, groups=self.resnet_block_groups, dtype=dtype,
-                         fused_norms=self.fused_norms,
+                         fused_norms=self.fused_norms, ws_frozen=self.ws_frozen,
                      name="mid_res0")(h, t_emb)
         h = AttnGate(linear=False, dtype=dtype, name="mid_attn")(h)
         h = ResBlock(dim=mid_dim, groups=self.resnet_block_groups, dtype=dtype,
-                         fused_norms=self.fused_norms,
+                         fused_norms=self.fused_norms, ws_frozen=self.ws_frozen,
                      name="mid_res1")(h, t_emb)
 
         for ind in reversed(range(nres)):
@@ -426,10 +468,10 @@ class UNet(nn.Module):
             # Skip connections feed the blocks as separate parts — the concat
             # buffer is never materialised (WSConv splits the kernel).
             h = ResBlock(dim=dim_in, groups=self.resnet_block_groups, dtype=dtype,
-                         fused_norms=self.fused_norms,
+                         fused_norms=self.fused_norms, ws_frozen=self.ws_frozen,
                          name=f"up_{ind}_res0")(h, t_emb, skip=hs.pop())
             h = ResBlock(dim=dim_in, groups=self.resnet_block_groups, dtype=dtype,
-                         fused_norms=self.fused_norms,
+                         fused_norms=self.fused_norms, ws_frozen=self.ws_frozen,
                          name=f"up_{ind}_res1")(h, t_emb, skip=hs.pop())
             h = AttnGate(linear=True, dtype=dtype, name=f"up_{ind}_attn")(h)
             if ind > 0:
@@ -438,7 +480,7 @@ class UNet(nn.Module):
 
         h = nn.Conv(init_dim, kernel_size=(3, 3), padding=1, dtype=dtype, name="head_proj")(h)
         out = ResBlock(dim=self.dim, groups=self.resnet_block_groups, dtype=dtype,
-                       fused_norms=self.fused_norms,
+                       fused_norms=self.fused_norms, ws_frozen=self.ws_frozen,
                        name="final_res")(h, t_emb, skip=hs.pop())
 
         out_dim = C if self.out_dim is None else self.out_dim

@@ -129,3 +129,27 @@ def test_resblock_split_skip_equals_concat():
     out_concat = block.apply(variables, jnp.concatenate([x, s], axis=-1), temb)
     npt.assert_allclose(np.asarray(out_split), np.asarray(out_concat),
                         rtol=1e-5, atol=1e-6)
+
+
+def test_ws_frozen_matches_standardizing_unet():
+    """UNet(ws_frozen=True) on pre-standardised params == the plain UNet
+    (bitwise on CPU f32): the sampling-path WS precompute is a pure
+    restructuring, not a numerics change."""
+    from jax.flatten_util import ravel_pytree
+    from fbs_tpu.nn import UNet, make_st_nn, standardize_ws_kernels
+
+    key = jax.random.PRNGKey(0)
+    shape = (16, 16, 2)
+    plain = UNet(dt=0.01, dim=8, dim_mults=(1, 2), upsampling="pixel_shuffle")
+    frozen = UNet(dt=0.01, dim=8, dim_mults=(1, 2), upsampling="pixel_shuffle",
+                  ws_frozen=True)
+
+    param, array_to_dict, fwd_plain = make_st_nn(key, plain, shape, batch_size=2)
+    _, _, fwd_frozen = make_st_nn(key, frozen, shape, batch_size=2)
+    param_std = ravel_pytree(standardize_ws_kernels(array_to_dict(param)))[0]
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, *shape))
+    t = jnp.array([0.1, 0.5, 0.9])
+    a = fwd_plain(x, t, param)
+    b = fwd_frozen(x, t, param_std)
+    npt.assert_array_equal(np.asarray(a, np.float32), np.asarray(b, np.float32))
