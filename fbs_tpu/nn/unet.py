@@ -161,6 +161,19 @@ class _NormParams(nn.Module):
                 self.param("bias", nn.initializers.zeros, (self.features,)))
 
 
+class _ConvParams(nn.Module):
+    """Declares WSConv-compatible (kernel, bias) params for the fused-resblock
+    path — same names/shapes, so checkpoints interoperate."""
+    features: int
+    cin: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("kernel", nn.initializers.lecun_normal(),
+                           (3, 3, self.cin, self.features)),
+                self.param("bias", nn.initializers.zeros, (self.features,)))
+
+
 class ResBlock(nn.Module):
     """WSConv-GroupNorm residual block with time-FiLM scale/shift.
 
@@ -172,6 +185,7 @@ class ResBlock(nn.Module):
     dtype: Any = jnp.float32
     fused_norms: bool = False
     ws_frozen: bool = False
+    fused_resblock: bool = False
 
     @nn.compact
     def __call__(self, x, time_emb, skip=None):
@@ -179,6 +193,31 @@ class ResBlock(nn.Module):
         with ``x`` — but never materialised as a concat (see WSConv)."""
         parts = [x] if skip is None else [x, skip]
         cin = sum(p.shape[-1] for p in parts)
+
+        if self.fused_resblock:
+            # Whole-block Pallas kernel (conv+GN+FiLM+swish+conv+GN+swish+
+            # shortcut, one VMEM-resident program; forward-only sampling
+            # path).  Requires pre-standardised kernels (ws_frozen).
+            if not self.ws_frozen:
+                raise ValueError("fused_resblock requires ws_frozen=True "
+                                 "(run standardize_ws_kernels on the params)")
+            from fbs_tpu.ops.resblock_pallas import fused_resblock
+
+            w1, b1 = _ConvParams(self.dim, cin, name="WSConv_0")()
+            scale0, bias0 = _NormParams(self.dim, name="GroupNorm_0")()
+            film = nn.Dense(2 * self.dim, dtype=self.dtype)(nn.swish(time_emb))
+            w2, b2 = _ConvParams(self.dim, self.dim, name="WSConv_1")()
+            scale1, bias1 = _NormParams(self.dim, name="GroupNorm_1")()
+            if cin != self.dim:
+                wsc = self.param("shortcut_kernel", nn.initializers.lecun_normal(),
+                                 (1, 1, cin, self.dim)).reshape(cin, self.dim)
+                bsc = self.param("shortcut_bias", nn.initializers.zeros, (self.dim,))
+            else:
+                wsc = bsc = None
+            return fused_resblock(
+                x, skip, film, w1, b1, scale0, bias0, w2, b2, scale1, bias1,
+                wsc, bsc, groups=self.groups, eps=1e-6, dot_dtype=self.dtype,
+                interpret=jax.default_backend() != "tpu")
 
         if self.fused_norms:
             # One-kernel GroupNorm+FiLM+swish on the sampling path
@@ -412,6 +451,7 @@ class UNet(nn.Module):
     resnet_block_groups: int = 8
     fused_norms: bool = False  # one-pass Pallas GroupNorm (sampling only)
     ws_frozen: bool = False  # kernels pre-standardised (standardize_ws_kernels)
+    fused_resblock: bool = False  # whole-block Pallas kernel (sampling only)
     compute_dtype: Any = jnp.float32
 
     @nn.compact
@@ -440,10 +480,12 @@ class UNet(nn.Module):
         for ind in range(nres):
             dim_in = h.shape[-1]
             h = ResBlock(dim=dim_in, groups=self.resnet_block_groups, dtype=dtype,
-                         fused_norms=self.fused_norms, ws_frozen=self.ws_frozen)(h, t_emb)
+                         fused_norms=self.fused_norms, ws_frozen=self.ws_frozen,
+                         fused_resblock=self.fused_resblock)(h, t_emb)
             hs.append(h)
             h = ResBlock(dim=dim_in, groups=self.resnet_block_groups, dtype=dtype,
-                         fused_norms=self.fused_norms, ws_frozen=self.ws_frozen)(h, t_emb)
+                         fused_norms=self.fused_norms, ws_frozen=self.ws_frozen,
+                         fused_resblock=self.fused_resblock)(h, t_emb)
             h = AttnGate(linear=True, dtype=dtype, name=f"down_{ind}_attn")(h)
             hs.append(h)
             if ind < nres - 1:
@@ -455,10 +497,12 @@ class UNet(nn.Module):
                     name=f"down_{nres - 1}_proj")(h)
         h = ResBlock(dim=mid_dim, groups=self.resnet_block_groups, dtype=dtype,
                          fused_norms=self.fused_norms, ws_frozen=self.ws_frozen,
+                         fused_resblock=self.fused_resblock,
                      name="mid_res0")(h, t_emb)
         h = AttnGate(linear=False, dtype=dtype, name="mid_attn")(h)
         h = ResBlock(dim=mid_dim, groups=self.resnet_block_groups, dtype=dtype,
                          fused_norms=self.fused_norms, ws_frozen=self.ws_frozen,
+                         fused_resblock=self.fused_resblock,
                      name="mid_res1")(h, t_emb)
 
         for ind in reversed(range(nres)):
@@ -469,9 +513,11 @@ class UNet(nn.Module):
             # buffer is never materialised (WSConv splits the kernel).
             h = ResBlock(dim=dim_in, groups=self.resnet_block_groups, dtype=dtype,
                          fused_norms=self.fused_norms, ws_frozen=self.ws_frozen,
+                         fused_resblock=self.fused_resblock,
                          name=f"up_{ind}_res0")(h, t_emb, skip=hs.pop())
             h = ResBlock(dim=dim_in, groups=self.resnet_block_groups, dtype=dtype,
                          fused_norms=self.fused_norms, ws_frozen=self.ws_frozen,
+                         fused_resblock=self.fused_resblock,
                          name=f"up_{ind}_res1")(h, t_emb, skip=hs.pop())
             h = AttnGate(linear=True, dtype=dtype, name=f"up_{ind}_attn")(h)
             if ind > 0:
@@ -481,6 +527,7 @@ class UNet(nn.Module):
         h = nn.Conv(init_dim, kernel_size=(3, 3), padding=1, dtype=dtype, name="head_proj")(h)
         out = ResBlock(dim=self.dim, groups=self.resnet_block_groups, dtype=dtype,
                        fused_norms=self.fused_norms, ws_frozen=self.ws_frozen,
+                         fused_resblock=self.fused_resblock,
                        name="final_res")(h, t_emb, skip=hs.pop())
 
         out_dim = C if self.out_dim is None else self.out_dim

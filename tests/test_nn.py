@@ -153,3 +153,26 @@ def test_ws_frozen_matches_standardizing_unet():
     a = fwd_plain(x, t, param)
     b = fwd_frozen(x, t, param_std)
     npt.assert_array_equal(np.asarray(a, np.float32), np.asarray(b, np.float32))
+
+
+def test_fused_resblock_unet_matches_plain():
+    """UNet(fused_resblock=True) — the whole-block Pallas kernel path — matches
+    the plain UNet on pre-standardised params (CPU interpret mode, f32)."""
+    from jax.flatten_util import ravel_pytree
+    from fbs_tpu.nn import UNet, make_st_nn, standardize_ws_kernels
+
+    key = jax.random.PRNGKey(0)
+    shape = (16, 16, 2)
+    plain = UNet(dt=0.01, dim=8, dim_mults=(1, 2), upsampling="pixel_shuffle")
+    fused = UNet(dt=0.01, dim=8, dim_mults=(1, 2), upsampling="pixel_shuffle",
+                 ws_frozen=True, fused_resblock=True)
+
+    param, array_to_dict, fwd_plain = make_st_nn(key, plain, shape, batch_size=2)
+    _, _, fwd_fused = make_st_nn(key, fused, shape, batch_size=2)
+    param_std = ravel_pytree(standardize_ws_kernels(array_to_dict(param)))[0]
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, *shape))
+    t = jnp.array([0.1, 0.5, 0.9, 1.3])
+    a = np.asarray(fwd_plain(x, t, param), np.float32)
+    b = np.asarray(fwd_fused(x, t, param_std), np.float32)
+    npt.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
