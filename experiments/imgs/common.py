@@ -40,6 +40,9 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--no_ws_frozen", action="store_true", default=False,
                    help="Recompute weight standardisation per forward instead "
                         "of pre-applying it to the frozen sampling params.")
+    p.add_argument("--fused_resblock", action="store_true", default=False,
+                   help="Whole-ResBlock Pallas kernel on the score forward "
+                        "(sampling only; requires ws_frozen).")
     p.add_argument("--shard_particles", action="store_true", default=False,
                    help="Shard the particle axis over all local devices.")
     p.add_argument("--sweeps_per_dispatch", type=int, default=10,
@@ -92,8 +95,10 @@ def load_score_network(args, key, image_shape, T: float):
     # standardisation is pre-applied once (bitwise identical; skips the
     # per-forward f32 kernel statistics on every one of the K*N score evals).
     ws_frozen = not getattr(args, "no_ws_frozen", False)
+    fused_rb = getattr(args, "fused_resblock", False)
     unet = UNet(dt=T / 200, dim=args.unet_dim, upsampling="pixel_shuffle",
-                compute_dtype=dtype, ws_frozen=ws_frozen)
+                compute_dtype=dtype, ws_frozen=ws_frozen,
+                fused_resblock=fused_rb)
     _, array_to_dict, nn_score = make_st_nn(key, unet, image_shape, batch_size=2)
 
     filename = f"./checkpoints/{args.dataset}_{args.sde}_{args.test_epoch}.npz"
