@@ -53,6 +53,10 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    help="Save a per-iteration PNG every this many iterations "
                         "(0: only the final one). The npy sample stack always "
                         "contains every iteration.")
+    p.add_argument("--y0s_per_dispatch", type=int, default=1,
+                   help="Run this many y0 chains vmapped in one device "
+                        "program (batch per score eval = y0s * particles; "
+                        "the throughput knob for small particle counts).")
     return p
 
 
@@ -179,6 +183,12 @@ def run_restoration(args, task: str, results_dir: str, size_tag) -> None:
     eb = "eb" in args.method
     ef = "ef" in args.method
 
+    if getattr(args, "y0s_per_dispatch", 1) > 1:
+        return _run_restoration_multi(args, task, results_dir, size_tag,
+                                      sampler, dataset,
+                                      (key, data_key), resolution, nchannels,
+                                      delta, eb, ef)
+
     for k in range(args.ny0s):
         data_key, subkey = jax.random.split(data_key)
         if k < args.start_from:
@@ -239,3 +249,106 @@ def run_restoration(args, task: str, results_dir: str, size_tag) -> None:
             np.save(head + f"-pmcmc-{delta}", restored_imgs)
         else:
             raise ValueError(f"Unknown method {args.method}")
+
+
+def _run_restoration_multi(args, task, results_dir, size_tag, sampler, dataset,
+                           keys, resolution, nchannels, delta, eb, ef):
+    """Vmapped-over-y0 restoration loop: V chains advance together in one
+    device program per chunk (``RestorationSampler.*_multi``).
+
+    Same y0/mask sequence as the sequential path (data keys split per y0 id);
+    the MCMC key streams differ from the sequential path (one stream per
+    chain) but the targets/configs are identical.  Artifact contract is
+    unchanged: per-y0 ``-true.npz`` / ``-<method>.npy`` / periodic PNGs.
+    """
+    key, data_key = keys
+    nsteps = args.test_nsteps
+    nsamples = args.nsamples
+    V = args.y0s_per_dispatch
+    chunk = max(1, args.sweeps_per_dispatch)
+    png_every = args.save_png_every
+
+    # Draw the y0 sequence exactly as the sequential loop would.
+    todo = []  # (k, test_img, y0, mask)
+    for k in range(args.ny0s):
+        data_key, subkey = jax.random.split(data_key)
+        if k < args.start_from:
+            continue
+        todo.append((k, *dataset.sampler(subkey)))
+
+    for b0 in range(0, len(todo), V):
+        batch = todo[b0:b0 + V]
+        v = len(batch)
+        ks = [b[0] for b in batch]
+        heads = [f"{results_dir}/{args.dataset}-{size_tag}-{args.sde}-"
+                 f"{args.nparticles}-{k}" for k in ks]
+        for head, (k, test_img, y0, mask) in zip(heads, batch):
+            save_true_artifacts(head, test_img, y0, mask, dataset, nchannels)
+        y0s = jnp.stack([b[2] for b in batch])
+        masks = sampler.stack_masks([b[3] for b in batch])
+        print(f"Running conditional sampler for y0s {ks} (vmapped).")
+
+        stacks = np.zeros((v, nsamples, resolution, resolution, nchannels))
+
+        def flush(i0, draws, tag):
+            # draws: (m, v, *x_shape) -> per-y0 restored images.
+            m = draws.shape[0]
+            for j, (head, (k, _, y0_j, mask_j)) in enumerate(zip(heads, batch)):
+                imgs = np.asarray(jax.vmap(
+                    lambda x: dataset.concat(x, y0_j, mask_j))(draws[:, j]))
+                stacks[j, i0:i0 + m] = imgs
+                for i in range(i0, i0 + m):
+                    if (png_every and i % png_every == 0) or i == nsamples - 1:
+                        save_image(head + f"-{tag}-{i}.png", imgs[i - i0],
+                                   nchannels)
+
+        if args.method == "filter":
+            for i0 in range(0, nsamples, chunk):
+                m = min(chunk, nsamples - i0)
+                key, draws = sampler.filter_draws_multi(key, y0s, masks, m,
+                                                        marg_y=args.marg)
+                flush(i0, np.asarray(draws), "filter")
+                print(f"{task} | filter x{v} | iters {i0}..{i0 + m - 1}")
+            tag = "filter"
+        elif "gibbs" in args.method:
+            key, subkey = jax.random.split(key)
+            x0s, us_stars = sampler.gibbs_init_multi(subkey, y0s, masks,
+                                                     method=args.init_method,
+                                                     marg_y=args.marg)
+            bs_stars = jnp.zeros((v, nsteps + 1), dtype=int)
+            for j, (head, (k, _, y0_j, mask_j)) in enumerate(zip(heads, batch)):
+                restored = dataset.concat(x0s[j], y0_j, mask_j)
+                save_image(head + "-gibbs-init.png", restored, nchannels)
+                np.save(head + "-gibbs-init", np.asarray(restored))
+            for i0 in range(0, nsamples, chunk):
+                m = min(chunk, nsamples - i0)
+                key, x0s, us_stars, bs_stars, draws, accs = \
+                    sampler.gibbs_sweeps_multi(key, x0s, y0s, us_stars,
+                                               bs_stars, masks, m,
+                                               explicit_backward=eb,
+                                               explicit_final=ef,
+                                               marg_y=args.marg)
+                flush(i0, np.asarray(draws), args.method)
+                print(f"{task} | Gibbs x{v} | iters {i0}..{i0 + m - 1}, "
+                      f"acc: {float(jnp.mean(accs)):.3f}")
+            tag = args.method
+        elif "pmcmc" in args.method:
+            key, subkey = jax.random.split(key)
+            x0s = jnp.zeros((v, *dataset.unobs_shape))
+            log_ells = jnp.zeros((v,))
+            yss = jax.jit(jax.vmap(sampler.fwd_ys_sampler))(
+                jax.random.split(subkey, v), y0s)
+            for i0 in range(0, nsamples, chunk):
+                m = min(chunk, nsamples - i0)
+                key, x0s, log_ells, yss, draws, acc_probs = \
+                    sampler.pmcmc_sweeps_multi(key, x0s, log_ells, yss, y0s,
+                                               masks, m, delta=delta)
+                flush(i0, np.asarray(draws), f"pmcmc-{delta}")
+                print(f"{task} | pMCMC {delta} x{v} | iters {i0}..{i0 + m - 1}, "
+                      f"mean acc_prob: {float(jnp.mean(acc_probs)):.3f}")
+            tag = f"pmcmc-{delta}"
+        else:
+            raise ValueError(f"Unknown method {args.method} for vmapped y0s")
+
+        for j, head in enumerate(heads):
+            np.save(head + f"-{tag}", stacks[j])

@@ -305,6 +305,158 @@ class RestorationSampler:
         fn = self._jit(f"filter_draws_{ndraws}_{marg_y}", chunk)
         return fn(key, y0, mask_=mask)
 
+    @staticmethod
+    def mask_axes(mask):
+        """vmap in_axes pytree for a mask NamedTuple: arrays batch on axis 0,
+        static int fields broadcast."""
+        return type(mask)(*[0 if hasattr(f, "shape") else None for f in mask])
+
+    @staticmethod
+    def stack_masks(masks):
+        """Stack per-y0 masks: arrays stacked on a new leading axis, static
+        int fields must agree."""
+        proto = masks[0]
+        fields = []
+        for i, f in enumerate(proto):
+            if hasattr(f, "shape"):
+                fields.append(jnp.stack([m[i] for m in masks]))
+            else:
+                assert all(m[i] == f for m in masks), "mask static fields differ"
+                fields.append(f)
+        return type(proto)(*fields)
+
+    def gibbs_init_multi(self, key: JKey, y0s: JArray, masks,
+                         method: str = "smoother", marg_y: bool = False):
+        """Vmapped :meth:`gibbs_init` over a batch of (y0, mask)."""
+        init = partial(
+            _gibbs_init, x0_shape=self.x_shape, ts=self.ts,
+            fwd_sampler=self.fwd_sampler, sde=self.sde, unpack=self.unpack,
+            transition_sampler=self.transition_sampler,
+            transition_logpdf=self.transition_logpdf,
+            likelihood_logpdf=self.likelihood_logpdf,
+            nparticles=self.nparticles, method=method, marg_y=marg_y,
+            take_fn=self.take_fn)
+        axes = self.mask_axes(masks)
+
+        def run(key_, y0s_, masks_):
+            v = y0s_.shape[0]
+            keys = jax.random.split(key_, v)
+            return jax.vmap(lambda k_, y_, m_: init(k_, y_, mask_=m_),
+                            in_axes=(0, 0, axes))(keys, y0s_, masks_)
+
+        fn = self._jit(f"gibbs_init_multi_{method}_{marg_y}_{y0s.shape[0]}", run)
+        return fn(key, y0s, masks)
+
+    def gibbs_sweeps_multi(self, key: JKey, x0s: JArray, y0s: JArray,
+                           us_stars: JArray, bs_stars: JArray, masks,
+                           nsweeps: int, explicit_backward: bool = True,
+                           explicit_final: bool = False, marg_y: bool = False):
+        """``nsweeps`` Gibbs sweeps for ``V`` independent y0 chains in ONE
+        device dispatch: ``lax.scan`` over sweeps of ``vmap`` over chains.
+
+        TPU-first: at small particle counts a single chain's score batch
+        (N images) under-fills the chip, so the per-eval batch becomes
+        ``V * N`` — the generalisation of the reference's toy-only chain vmap
+        (``/root/reference/experiments/toy/gp_gibbs.py:172-173``) to the
+        image pipeline.  Returns ``(key, x0s, us_stars, bs_stars, draws,
+        accs)`` with ``draws``: (nsweeps, V, *x_shape).
+        """
+        kernel = partial(
+            _gibbs_kernel, ts=self.ts, fwd_sampler=self.fwd_sampler, sde=self.sde,
+            unpack=self.unpack, nparticles=self.nparticles,
+            transition_sampler=self.transition_sampler,
+            transition_logpdf=self.transition_logpdf,
+            likelihood_logpdf=self.likelihood_logpdf,
+            marg_y=marg_y, explicit_backward=explicit_backward,
+            explicit_final=explicit_final, fused_kernel=self.fused_kernel,
+            cond_resampling=self._cond_resampling_fn(), take_fn=self.take_fn)
+        axes = self.mask_axes(masks)
+        v = x0s.shape[0]
+
+        def chunk(key_, x0s_, y0s_, uss_, bss_, masks_):
+            vkernel = jax.vmap(
+                lambda k_, x_, y_, us_, bs_, m_: kernel(k_, x_, y_, us_, bs_,
+                                                        mask_=m_),
+                in_axes=(0, 0, 0, 0, 0, axes))
+
+            def body(carry, _):
+                k, xs, uss, bss = carry
+                k, sub = jax.random.split(k)
+                xs, uss, bss, accs = vkernel(jax.random.split(sub, v), xs,
+                                             y0s_, uss, bss, masks_)
+                return (k, xs, uss, bss), (xs, accs)
+
+            (k, xs, uss, bss), (draws, accs) = jax.lax.scan(
+                body, (key_, x0s_, uss_, bss_), None, length=nsweeps)
+            return k, xs, uss, bss, draws, accs
+
+        fn = self._jit(
+            f"gibbs_sweeps_multi_{v}_{nsweeps}_{explicit_backward}"
+            f"_{explicit_final}_{marg_y}_{self.cond_resampling}", chunk)
+        return fn(key, x0s, y0s, us_stars, bs_stars, masks)
+
+    def pmcmc_sweeps_multi(self, key: JKey, uTs: JArray, log_ells, yss: JArray,
+                           y0s: JArray, masks, nsweeps: int,
+                           delta: Optional[float] = None):
+        """Vmapped-over-y0 variant of :meth:`pmcmc_sweeps`."""
+        kernel = partial(
+            _pmcmc_kernel, ts=self.ts, fwd_ys_sampler=self.fwd_ys_sampler,
+            sde=self.sde, ref_sampler=self.ref_sampler,
+            transition_sampler=self.transition_sampler,
+            likelihood_logpdf=self.likelihood_logpdf,
+            resampling=stratified, nparticles=self.nparticles, delta=delta)
+        axes = self.mask_axes(masks)
+        v = uTs.shape[0]
+
+        def chunk(key_, uTs_, les_, yss_, y0s_, masks_):
+            vkernel = jax.vmap(
+                lambda k_, u_, le_, ys_, y_, m_: kernel(k_, u_, le_, ys_, y_,
+                                                        mask_=m_),
+                in_axes=(0, 0, 0, 0, 0, axes))
+
+            def body(carry, _):
+                k, us, les, yss_c = carry
+                k, sub = jax.random.split(k)
+                us, les, yss_c, states = vkernel(jax.random.split(sub, v), us,
+                                                 les, yss_c, y0s_, masks_)
+                return (k, us, les, yss_c), (us, states.acceptance_prob)
+
+            (k, us, les, yss_c), (draws, aps) = jax.lax.scan(
+                body, (key_, uTs_, les_, yss_), None, length=nsweeps)
+            return k, us, les, yss_c, draws, aps
+
+        fn = self._jit(f"pmcmc_sweeps_multi_{v}_{nsweeps}_{delta}", chunk)
+        return fn(key, uTs, jnp.asarray(log_ells, jnp.result_type(float)),
+                  yss, y0s, masks)
+
+    def filter_draws_multi(self, key: JKey, y0s: JArray, masks, ndraws: int,
+                           marg_y: bool = False):
+        """Vmapped-over-y0 variant of :meth:`filter_draws`.
+        Returns ``(key, x0s)`` with ``x0s``: (ndraws, V, *x_shape)."""
+        init = partial(
+            _gibbs_init, x0_shape=self.x_shape, ts=self.ts,
+            fwd_sampler=self.fwd_sampler, sde=self.sde, unpack=self.unpack,
+            transition_sampler=self.transition_sampler,
+            transition_logpdf=self.transition_logpdf,
+            likelihood_logpdf=self.likelihood_logpdf,
+            nparticles=self.nparticles, method="filter", marg_y=marg_y,
+            take_fn=self.take_fn)
+        axes = self.mask_axes(masks)
+        v = y0s.shape[0]
+
+        def chunk(key_, y0s_, masks_):
+            vinit = jax.vmap(lambda k_, y_, m_: init(k_, y_, mask_=m_)[0],
+                             in_axes=(0, 0, axes))
+
+            def body(k, _):
+                k, sub = jax.random.split(k)
+                return k, vinit(jax.random.split(sub, v), y0s_, masks_)
+
+            return jax.lax.scan(body, key_, None, length=ndraws)
+
+        fn = self._jit(f"filter_draws_multi_{v}_{ndraws}_{marg_y}", chunk)
+        return fn(key, y0s, masks)
+
     def _cond_resampling_fn(self):
         from fbs_tpu.samplers.csmc import resamplings as cond
 

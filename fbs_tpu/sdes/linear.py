@@ -169,6 +169,9 @@ def make_linear_sde(sde: LinearSDE):
             Fs, Qs = jax.vmap(discretise_linear_sde)(ts[1:], ts[:-1])
             sqrt_Qs = jnp.sqrt(Qs)
             rnds = jax.random.normal(key, (ts.shape[0] - 1, *x0.shape))
+            # Promote the carry up front so x64 coefficient tables cannot
+            # change the carry dtype mid-scan (a no-op when dtypes agree).
+            x0 = x0.astype(jnp.result_type(x0.dtype, Fs.dtype, rnds.dtype))
 
             def scan_body(x, elem):
                 F, sq, rnd = elem

@@ -66,3 +66,39 @@ def test_inpainting_then_tabulate(tmp_path, monkeypatch, capsys, method):
     ])
     out = capsys.readouterr().out
     assert "PSNR" in out and "SSIM" in out, out
+
+
+@pytest.mark.parametrize("method", ["gibbs-eb", "filter", "pmcmc-0.01"])
+def test_inpainting_multi_y0_dispatch(tmp_path, monkeypatch, capsys, method):
+    """The vmapped-over-y0 loop (--y0s_per_dispatch) writes the same artifact
+    contract as the sequential loop, for every method family."""
+    from fbs_tpu.nn import UNet, make_st_nn
+
+    monkeypatch.chdir(tmp_path)
+
+    os.makedirs("datasets")
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(0.0, 1.0, (8, 784)).astype(np.float32)
+    np.savez("datasets/mnist.npz", X=imgs, X_test=imgs)
+
+    os.makedirs("checkpoints")
+    unet = UNet(dt=2.0 / 200, dim=8, upsampling="pixel_shuffle")
+    param, _, _ = make_st_nn(jax.random.PRNGKey(0), unet, (28, 28, 1), batch_size=2)
+    np.savez("checkpoints/mnist_lin_0.npz", param=np.asarray(param),
+             ema_param=np.asarray(param))
+
+    from experiments.imgs import inpainting
+    _run_main(inpainting, [
+        "--ny0s", "2", "--nsamples", "4", "--test_nsteps", "4",
+        "--nparticles", "4", "--unet_dim", "8", "--test_epoch", "0",
+        "--method", method, "--y0s_per_dispatch", "2",
+        "--sweeps_per_dispatch", "2",
+    ])
+
+    tag = "pmcmc-0.01" if "pmcmc" in method else method
+    for k in (0, 1):
+        head = f"./imgs/results_inpainting/mnist-15-lin-4-{k}"
+        assert np.load(head + "-true.npz")["test_img"].shape == (28, 28, 1)
+        stack = np.load(head + f"-{tag}.npy")
+        assert stack.shape == (4, 28, 28, 1)
+        assert np.isfinite(stack).all()
