@@ -21,8 +21,19 @@ def enable(cache_dir: str | None = None, min_compile_secs: float = 1.0) -> str:
     """Enable JAX's persistent compilation cache (idempotent).
 
     Honours ``JAX_COMPILATION_CACHE_DIR`` if set; returns the directory used.
+
+    Also honours ``FBS_PLATFORM`` (e.g. ``cpu``): on this platform the stock
+    ``JAX_PLATFORMS`` env var is captured by a sitecustomize before user code
+    runs, so a smoke test of an experiment CLI would otherwise grab the
+    (single-client) TPU and can wedge a long-running training job's RPC.
+    Every entry point calls :func:`enable` before touching the backend, so
+    the override is applied here.
     """
     import jax
+
+    forced = os.environ.get("FBS_PLATFORM")
+    if forced:
+        jax.config.update("jax_platforms", forced)
 
     path = cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR", _DEFAULT_DIR)
     os.makedirs(path, exist_ok=True)
