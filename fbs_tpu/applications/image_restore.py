@@ -305,6 +305,112 @@ class RestorationSampler:
         fn = self._jit(f"filter_draws_{ndraws}_{marg_y}", chunk)
         return fn(key, y0, mask_=mask)
 
+    def gibbs_step_timechunked(self, key: JKey, x0: JArray, y0: JArray,
+                               us_star: JArray, bs_star: JArray, mask,
+                               steps_per_dispatch: int = 100,
+                               explicit_final: bool = False):
+        """One explicit-backward Gibbs sweep executed as BOUNDED dispatches:
+        setup (forward noising + CSMC init), then the CSMC terminal scan in
+        time chunks of ``steps_per_dispatch`` carrying ``(log_ws, us)``, then
+        the forced move + reference refresh.
+
+        Bitwise identical to ``gibbs_step(explicit_backward=True)`` — the key
+        schedule is replicated exactly and the scan is merely split — but no
+        single XLA execution runs longer than a chunk.  This is what makes
+        the K=1000 config of record executable at 256^2 through an RPC
+        tunnel that kills >2 min dispatches (and, in production, what makes
+        a sweep preemptible at chunk granularity).
+        """
+        import math as _math
+
+        from fbs_tpu.samplers.csmc.csmc import _forward_init, _make_scan_body
+        from fbs_tpu.samplers.gibbs import force_move
+
+        nsteps, nparticles = self.nsteps, self.nparticles
+        kwargs = dict(mask_=mask)
+        lik = self.likelihood_logpdf
+        ts = self.ts
+
+        if explicit_final:
+            def init_sampler(key_, n_samples):
+                return jax.random.normal(key_, (n_samples, *self.x_shape))
+
+            def init_likelihood_logpdf(v0, u0s, v1, **kw):
+                return lik(v0, u0s, v1, ts[0], **kw)
+        else:
+            init_sampler = None  # built inside setup (needs us[0])
+
+        def setup(key_, x0_, y0_, bs_star_, mask_):
+            key_fwd, key_csmc, key_bridge = jax.random.split(key_, num=3)
+            path_xy = self.fwd_sampler(key_fwd, x0_, y0_, mask_)
+            path_x, path_y = self.unpack(path_xy, mask_)
+            us = path_x[::-1]
+            vs = path_y[::-1]
+
+            if explicit_final:
+                init_s, init_l = init_sampler, init_likelihood_logpdf
+            else:
+                def init_s(*_, **__):
+                    return us[0] * jnp.ones((nparticles, *us.shape[1:]))
+
+                def init_l(*_, **__):
+                    return -_math.log(nparticles) * jnp.ones(nparticles)
+
+            (key_csmc_fwd, key_csmc_x0, key_csmc_bwd_us,
+             key_csmc_bwd_bs) = jax.random.split(key_csmc, num=4)
+            key_scan, us0, log_ws0 = _forward_init(
+                key_csmc_fwd, us, bs_star_, vs, init_s, init_l, nparticles,
+                dict(mask_=mask_))
+            scan_keys = jax.random.split(key_scan, nsteps)
+            return (us, vs, us0, log_ws0, scan_keys,
+                    key_csmc_x0, key_csmc_bwd_us, key_csmc_bwd_bs)
+
+        def chunk(log_ws, us_prev, inputs, mask_):
+            scan_body_full = _make_scan_body(
+                self.transition_sampler, self.likelihood_logpdf,
+                self._cond_resampling_fn(), self.fused_kernel,
+                dict(mask_=mask_), take_fn=self.take_fn)
+
+            def body(carry, inp):
+                carry, _ = scan_body_full(carry, inp)
+                return carry, None
+
+            (log_ws, us_prev), _ = jax.lax.scan(body, (log_ws, us_prev), inputs)
+            return log_ws, us_prev
+
+        def finish(key_x0, key_bwd_us, key_bwd_bs, log_ws_T, us_T, y0_,
+                   bs_star_, mask_):
+            idx, _ = force_move(key_x0, jnp.exp(log_ws_T), bs_star_[-1])
+            x0n = us_T[idx]
+            us_star_next = self.unpack(
+                self.fwd_sampler(key_bwd_us, x0n, y0_, mask_), mask_)[0][::-1]
+            bs_star_next = jax.random.randint(key_bwd_bs, (nsteps + 1,),
+                                              minval=0, maxval=nparticles)
+            return x0n, us_star_next, bs_star_next
+
+        setup_j = self._jit(f"tc_setup_{explicit_final}", setup)
+        chunk_j = self._jit(f"tc_chunk_{steps_per_dispatch}", chunk)
+        finish_j = self._jit("tc_finish", finish)
+
+        (us, vs, us0, log_ws0, scan_keys,
+         key_x0, key_bwd_us, key_bwd_bs) = setup_j(key, x0, y0, bs_star, mask)
+
+        log_ws, us_prev = log_ws0, us0
+        for lo in range(0, nsteps, steps_per_dispatch):
+            hi = min(lo + steps_per_dispatch, nsteps)
+            inputs = (vs[1 + lo:1 + hi], vs[lo:hi], self.ts[lo:hi],
+                      bs_star[lo:hi], bs_star[1 + lo:1 + hi],
+                      scan_keys[lo:hi], us[1 + lo:1 + hi])
+            if hi - lo == steps_per_dispatch:
+                log_ws, us_prev = chunk_j(log_ws, us_prev, inputs, mask)
+            else:  # ragged tail compiles its own (smaller) program once
+                log_ws, us_prev = self._jit(f"tc_chunk_{hi - lo}", chunk)(
+                    log_ws, us_prev, inputs, mask)
+
+        x0n, us_star_next, bs_star_next = finish_j(
+            key_x0, key_bwd_us, key_bwd_bs, log_ws, us_prev, y0, bs_star, mask)
+        return x0n, us_star_next, bs_star_next, bs_star_next != bs_star
+
     @staticmethod
     def mask_axes(mask):
         """vmap in_axes pytree for a mask NamedTuple: arrays batch on axis 0,

@@ -102,3 +102,49 @@ def test_inpainting_multi_y0_dispatch(tmp_path, monkeypatch, capsys, method):
         stack = np.load(head + f"-{tag}.npy")
         assert stack.shape == (4, 28, 28, 1)
         assert np.isfinite(stack).all()
+
+
+def test_timechunked_gibbs_sweep_bitwise():
+    """gibbs_step_timechunked (bounded dispatches, chunked CSMC scan) is
+    bitwise identical to the single-dispatch gibbs_step under shared keys."""
+    import jax.numpy as jnp
+    from fbs_tpu.applications import RestorationSampler
+    from fbs_tpu.data import ImageRestore
+    from fbs_tpu.sdes import StationaryLinLinearSDE
+
+    key = jax.random.PRNGKey(42)
+    xs = jax.random.uniform(key, (4, 8, 8, 1))
+    dataset = ImageRestore.from_array(xs, task="inpaint-3")
+    test_img, y0, mask = dataset.sampler(jax.random.PRNGKey(1))
+
+    T = 2.0
+    sde = StationaryLinLinearSDE(beta_min=0.02, beta_max=5.0, t0=0.0, T=T)
+
+    def drift_override(uv, t):
+        return -sde.drift(uv, T - t) - 0.5 * uv
+
+    sampler = RestorationSampler(dataset=dataset, sde=sde, nn_score=None,
+                                 param=None, T=T, nsteps=7, nparticles=5,
+                                 reverse_drift_override=drift_override)
+
+    x0 = jnp.zeros(dataset.unobs_shape)
+    us_star = jnp.zeros((8, *dataset.unobs_shape))
+    bs_star = jnp.zeros((8,), dtype=int)
+    k = jax.random.PRNGKey(7)
+
+    ref = sampler.gibbs_step(k, x0, y0, us_star, bs_star, mask,
+                             explicit_backward=True, explicit_final=False)
+    for spd in (3, 7):  # ragged and exact chunkings
+        got = sampler.gibbs_step_timechunked(k, x0, y0, us_star, bs_star, mask,
+                                             steps_per_dispatch=spd,
+                                             explicit_final=False)
+        for a, b in zip(ref, got):
+            assert np.array_equal(np.asarray(a), np.asarray(b)), spd
+
+    ref_ef = sampler.gibbs_step(k, x0, y0, us_star, bs_star, mask,
+                                explicit_backward=True, explicit_final=True)
+    got_ef = sampler.gibbs_step_timechunked(k, x0, y0, us_star, bs_star, mask,
+                                            steps_per_dispatch=4,
+                                            explicit_final=True)
+    for a, b in zip(ref_ef, got_ef):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
