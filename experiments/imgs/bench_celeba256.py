@@ -102,9 +102,6 @@ def main():
             print(json.dumps({"nparticles": n, "error": str(e)[:200]}))
 
 
-if __name__ == "__main__":
-    main()
-
 
 def _run_timechunked(args, xs, shape):
     """One full K=total_nsteps sweep through the time-chunked executor
@@ -176,3 +173,6 @@ def _run_timechunked(args, xs, shape):
         except Exception as e:
             print(json.dumps({"nparticles": n, "total_nsteps": args.total_nsteps,
                               "error": str(e)[:300]}))
+
+if __name__ == "__main__":
+    main()
