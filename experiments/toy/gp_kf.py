@@ -22,24 +22,29 @@ def main():
     parser.add_argument("--d", type=int, default=10)
     parser.add_argument("--nsamples", type=int, default=1000)
     parser.add_argument("--id", type=int, default=666)
+    parser.add_argument("--nmc", type=int, default=0,
+                        help="If > 0: run ids 0..nmc-1 in this one process "
+                             "(per-id streams unchanged).")
     args = parser.parse_args()
 
     from fbs_tpu.applications import GPRegressionToy
 
-    key = jax.random.PRNGKey(args.id)
     toy = GPRegressionToy(d=args.d, obs_var=1.0)
-
-    key, subkey = jax.random.split(key)
-    _, y0 = toy.draw_data(subkey)
-    gp_mean, gp_cov = toy.exact_posterior(y0)
-    chol = jnp.linalg.cholesky(gp_cov + 1e-9 * jnp.eye(args.d))
-
-    key, subkey = jax.random.split(key)
-    samples = gp_mean + jax.random.normal(subkey, (args.nsamples, args.d)) @ chol.T
-
     os.makedirs("./toy/results", exist_ok=True)
-    np.savez(f"./toy/results/kf-{args.id}", samples=np.asarray(samples),
-             gp_mean=gp_mean, gp_cov=gp_cov)
+
+    ids = range(args.nmc) if args.nmc > 0 else [args.id]
+    for id_ in ids:
+        key = jax.random.PRNGKey(id_)
+        key, subkey = jax.random.split(key)
+        _, y0 = toy.draw_data(subkey)
+        gp_mean, gp_cov = toy.exact_posterior(y0)
+        chol = jnp.linalg.cholesky(gp_cov + 1e-9 * jnp.eye(args.d))
+
+        key, subkey = jax.random.split(key)
+        samples = gp_mean + jax.random.normal(subkey, (args.nsamples, args.d)) @ chol.T
+
+        np.savez(f"./toy/results/kf-{id_}", samples=np.asarray(samples),
+                 gp_mean=gp_mean, gp_cov=gp_cov)
 
 
 if __name__ == "__main__":
