@@ -57,6 +57,9 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    help="Run this many y0 chains vmapped in one device "
                         "program (batch per score eval = y0s * particles; "
                         "the throughput knob for small particle counts).")
+    p.add_argument("--samples_per_dispatch", type=int, default=1,
+                   help="One-shot baselines (twisted/csgm): draw this many "
+                        "independent samples vmapped per dispatch.")
     return p
 
 
@@ -352,3 +355,44 @@ def _run_restoration_multi(args, task, results_dir, size_tag, sampler, dataset,
 
         for j, head in enumerate(heads):
             np.save(head + f"-{tag}", stacks[j])
+
+
+def run_oneshot_baseline(args, task: str, results_dir: str, size_tag, tag: str,
+                         draw_image_fn, dataset, keys, resolution, nchannels):
+    """Shared loop for the one-shot baselines (twisted SMC / CSGM).
+
+    ``draw_image_fn(subkey, y0, mask) -> (H, W, C) image``.  Samples are
+    independent, so ``--samples_per_dispatch`` of them run vmapped in one
+    device program (the reference evaluates the score on a batch of ONE per
+    sample, ``/root/reference/experiments/imgs/inpainting_csgm.py:104-116``).
+    Per-sample key sequence matches the sequential loop.
+    """
+    key, data_key = keys
+    nsamples = args.nsamples
+    spb = max(1, getattr(args, "samples_per_dispatch", 1))
+    png_every = getattr(args, "save_png_every", 10)
+    draw_many = jax.jit(jax.vmap(draw_image_fn, in_axes=(0, None, None)))
+
+    for k in range(args.ny0s):
+        data_key, subkey = jax.random.split(data_key)
+        if k < args.start_from:
+            continue
+        print(f"Running {tag} sampler for {k}-th test sample.")
+        test_img, test_y0, mask = dataset.sampler(subkey)
+        head = f"{results_dir}/{args.dataset}-{size_tag}-{args.sde}-{args.nparticles}-{k}"
+        save_true_artifacts(head, test_img, test_y0, mask, dataset, nchannels)
+
+        restored_imgs = np.zeros((nsamples, resolution, resolution, nchannels))
+        for i0 in range(0, nsamples, spb):
+            m = min(spb, nsamples - i0)
+            subs = []
+            for _ in range(m):
+                key, sub = jax.random.split(key)
+                subs.append(sub)
+            imgs = np.asarray(draw_many(jnp.stack(subs), test_y0, mask))
+            restored_imgs[i0:i0 + m] = imgs
+            for i in range(i0, i0 + m):
+                if (png_every and i % png_every == 0) or i == nsamples - 1:
+                    save_image(head + f"-{tag}-{i}.png", imgs[i - i0], nchannels)
+            print(f"{task} | {tag} | iters {i0}..{i0 + m - 1}")
+        np.save(head + f"-{tag}", restored_imgs)

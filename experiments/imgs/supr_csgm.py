@@ -24,24 +24,14 @@ def main():
     sampler, dataset, (key, data_key), resolution, nchannels = build_sampler(args, task)
     nsamples = args.nsamples
 
-    for k in range(args.ny0s):
-        data_key, subkey = jax.random.split(data_key)
-        if k < args.start_from:
-            continue
-        print(f"Running CSGM sampler for {k}-th test sample.")
-        test_img, test_y0, mask = dataset.sampler(subkey)
-        head = f"./imgs/results_supr/{args.dataset}-{args.rate}-{args.sde}-{args.nparticles}-{k}"
-        save_true_artifacts(head, test_img, test_y0, mask, dataset, nchannels)
+    def draw_image(subkey, y0, mask):
+        x0 = sampler.csgm_sample(subkey, y0, mask, integrator=args.integrator)
+        return dataset.concat(x0, y0, mask)
 
-        restored_imgs = np.zeros((nsamples, resolution, resolution, nchannels))
-        for i in range(nsamples):
-            key, subkey = jax.random.split(key)
-            x0 = sampler.csgm_sample(subkey, test_y0, mask, integrator=args.integrator)
-            restored = dataset.concat(x0, test_y0, mask)
-            restored_imgs[i] = restored
-            save_image(head + f"-csgm-{i}.png", restored, nchannels)
-            print(f"{task} | cSGM | iter: {i}")
-        np.save(head + "-csgm", restored_imgs)
+    from experiments.imgs.common import run_oneshot_baseline
+    run_oneshot_baseline(args, task, "./imgs/results_supr", args.rate, "csgm",
+                         draw_image, dataset, (key, data_key), resolution,
+                         nchannels)
 
 
 if __name__ == "__main__":

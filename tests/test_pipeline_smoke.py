@@ -148,3 +148,33 @@ def test_timechunked_gibbs_sweep_bitwise():
                                             explicit_final=True)
     for a, b in zip(ref_ef, got_ef):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("script,tag", [("inpainting_csgm", "csgm"),
+                                        ("inpainting_twisted", "twisted")])
+def test_oneshot_baselines_sample_batched(tmp_path, monkeypatch, script, tag):
+    """csgm/twisted with --samples_per_dispatch: vmapped sample batches write
+    the same artifact contract."""
+    import importlib
+    from fbs_tpu.nn import UNet, make_st_nn
+
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("datasets")
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(0.0, 1.0, (8, 784)).astype(np.float32)
+    np.savez("datasets/mnist.npz", X=imgs, X_test=imgs)
+    os.makedirs("checkpoints")
+    unet = UNet(dt=2.0 / 200, dim=8, upsampling="pixel_shuffle")
+    param, _, _ = make_st_nn(jax.random.PRNGKey(0), unet, (28, 28, 1), batch_size=2)
+    np.savez("checkpoints/mnist_lin_0.npz", param=np.asarray(param),
+             ema_param=np.asarray(param))
+
+    mod = importlib.import_module(f"experiments.imgs.{script}")
+    _run_main(mod, [
+        "--ny0s", "1", "--nsamples", "3", "--test_nsteps", "4",
+        "--nparticles", "4", "--unet_dim", "8", "--test_epoch", "0",
+        "--samples_per_dispatch", "2",
+    ])
+    stack = np.load(f"./imgs/results_inpainting/mnist-15-lin-4-0-{tag}.npy")
+    assert stack.shape == (3, 28, 28, 1)
+    assert np.isfinite(stack).all()
