@@ -78,8 +78,6 @@ def main():
 
     os.makedirs("./checkpoints", exist_ok=True)
     key, subkey = jax.random.split(key)
-    for _ in range(args.start_epoch):  # keep the data stream aligned with a fresh run
-        key, subkey = jax.random.split(key)
     param, ema_param = train_score_model(
         subkey, dataset, loss_fn, init_param,
         batch_size=args.batch_size, nepochs=args.nepochs,

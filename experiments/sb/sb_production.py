@@ -124,23 +124,29 @@ def main():
               f"acc {acc_sum / (args.nmc * args.nsamples):.3f}")
 
         # ---- One-shot SB filter baseline. ----
-        def draw_one(key_, y0):
-            return toy.filter_sample(key_, y0, nparticles)
-
+        # Key discipline mirrors sb/filter.py per id (PRNGKey(id) -> data
+        # split -> per-batch split/fan-out), so a per-id rerun with
+        # ``--batch`` equal to ``--chunk`` reproduces these rows exactly.
         t0 = time.time()
 
-        @jax.jit
-        def draw_chunk(key_):
-            ks = jax.random.split(key_, args.nmc * args.chunk)
-            ks = ks.reshape(args.nmc, args.chunk, 2)
-            return jax.vmap(jax.vmap(draw_one, in_axes=(0, None)))(ks, y0s)
+        @partial(jax.jit, static_argnums=1)
+        def draw_chunk(fkeys_, n):
+            k2 = jax.vmap(jax.random.split)(fkeys_)
 
-        master = jax.random.PRNGKey(10_000 + nparticles)
-        parts = []
-        nchunks = (args.nsamples + args.chunk - 1) // args.chunk
-        for j in range(nchunks):
-            parts.append(np.asarray(draw_chunk(jax.random.fold_in(master, j))))
-        fsamples = np.concatenate(parts, axis=1)[:, :args.nsamples]
+            def per_id(sub, y0):
+                return jax.vmap(lambda kk: toy.filter_sample(kk, y0, nparticles)
+                                )(jax.random.split(sub, n))
+
+            return k2[:, 0], jax.vmap(per_id)(k2[:, 1], y0s)
+
+        fkeys = chain_keys
+        fsamples = np.zeros((args.nmc, args.nsamples, args.d))
+        done = 0
+        while done < args.nsamples:
+            n = min(args.chunk, args.nsamples - done)
+            fkeys, out = draw_chunk(fkeys, n)
+            fsamples[:, done:done + n] = np.asarray(out)
+            done += n
         for i in range(args.nmc):
             np.savez(f"./sb/results/filter-{nparticles}-{i}",
                      samples=fsamples[i], gp_mean=gp_means[i], gp_cov=gp_covs[i])

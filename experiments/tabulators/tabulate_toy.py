@@ -26,14 +26,20 @@ from fbs_tpu.math import kl, bures_dist
 def tabulate(method: str, max_mcs=None, results_dir: str = f"{_EXP}/toy/results"):
     if max_mcs is None:  # default to every committed repetition on disk
         import glob
-        max_mcs = len(glob.glob(os.path.join(results_dir, f"{method}-*.npz")))
-        if max_mcs == 0:
+        files = glob.glob(os.path.join(results_dir, f"{method}-*.npz"))
+        mc_ids = sorted(int(os.path.basename(p)[len(method) + 1:-4])
+                        for p in files
+                        if os.path.basename(p)[len(method) + 1:-4].isdigit())
+        if not mc_ids:
             raise FileNotFoundError(f"no {method}-*.npz under {results_dir}")
+    else:
+        mc_ids = list(range(max_mcs))
+    max_mcs = len(mc_ids)
     errs = {k: np.zeros((max_mcs,)) for k in
             ("m", "var", "kl", "bures", "skew", "kurt")}
 
-    for mc_id in range(max_mcs):
-        results = np.load(os.path.join(results_dir, f"{method}-{mc_id}.npz"))
+    for mc_id, file_id in enumerate(mc_ids):
+        results = np.load(os.path.join(results_dir, f"{method}-{file_id}.npz"))
         samples, gp_mean, gp_cov = (results["samples"], results["gp_mean"],
                                     results["gp_cov"])
 

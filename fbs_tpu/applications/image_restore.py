@@ -173,28 +173,49 @@ class RestorationSampler:
             self._jitted[name] = jax.jit(fn)
         return self._jitted[name]
 
-    def filter_init(self, key: JKey, y0: JArray, mask, marg_y: bool = False):
-        """One bootstrap-filter draw of x0 (the 'filter' method)."""
-        fn = self._jit("filter_init", partial(
-            _gibbs_init, x0_shape=self.x_shape, ts=self.ts,
-            fwd_sampler=self.fwd_sampler, sde=self.sde, unpack=self.unpack,
+    def _kernel_partial(self, explicit_backward: bool, explicit_final: bool,
+                        marg_y: bool):
+        """The single source of the Gibbs-kernel configuration — every entry
+        point (single-dispatch, sweep-scan, multi-y0, chained) builds from
+        here so they cannot silently diverge."""
+        return partial(
+            _gibbs_kernel, ts=self.ts, fwd_sampler=self.fwd_sampler, sde=self.sde,
+            unpack=self.unpack, nparticles=self.nparticles,
             transition_sampler=self.transition_sampler,
             transition_logpdf=self.transition_logpdf,
             likelihood_logpdf=self.likelihood_logpdf,
-            nparticles=self.nparticles, method="filter", marg_y=marg_y,
-            take_fn=self.take_fn))
-        return fn(key, y0, mask_=mask)
+            marg_y=marg_y, explicit_backward=explicit_backward,
+            explicit_final=explicit_final, fused_kernel=self.fused_kernel,
+            cond_resampling=self._cond_resampling_fn(), take_fn=self.take_fn)
 
-    def gibbs_init(self, key: JKey, y0: JArray, mask, method: str = "smoother",
-                   marg_y: bool = False, x0: Optional[JArray] = None):
-        fn = self._jit(f"gibbs_init_{method}_{marg_y}", partial(
+    def _init_partial(self, method: str, marg_y: bool):
+        """Single source of the filter/smoother init configuration."""
+        return partial(
             _gibbs_init, x0_shape=self.x_shape, ts=self.ts,
             fwd_sampler=self.fwd_sampler, sde=self.sde, unpack=self.unpack,
             transition_sampler=self.transition_sampler,
             transition_logpdf=self.transition_logpdf,
             likelihood_logpdf=self.likelihood_logpdf,
             nparticles=self.nparticles, method=method, marg_y=marg_y,
-            take_fn=self.take_fn))
+            take_fn=self.take_fn)
+
+    def _pmcmc_partial(self, delta):
+        return partial(
+            _pmcmc_kernel, ts=self.ts, fwd_ys_sampler=self.fwd_ys_sampler,
+            sde=self.sde, ref_sampler=self.ref_sampler,
+            transition_sampler=self.transition_sampler,
+            likelihood_logpdf=self.likelihood_logpdf,
+            resampling=stratified, nparticles=self.nparticles, delta=delta)
+
+    def filter_init(self, key: JKey, y0: JArray, mask, marg_y: bool = False):
+        """One bootstrap-filter draw of x0 (the 'filter' method)."""
+        fn = self._jit("filter_init", self._init_partial("filter", marg_y))
+        return fn(key, y0, mask_=mask)
+
+    def gibbs_init(self, key: JKey, y0: JArray, mask, method: str = "smoother",
+                   marg_y: bool = False, x0: Optional[JArray] = None):
+        fn = self._jit(f"gibbs_init_{method}_{marg_y}",
+                       self._init_partial(method, marg_y))
         return fn(key, y0, x0=x0, mask_=mask)
 
     def gibbs_step(self, key: JKey, x0: JArray, y0: JArray,
@@ -203,15 +224,7 @@ class RestorationSampler:
                    marg_y: bool = False):
         fn = self._jit(
             f"gibbs_{explicit_backward}_{explicit_final}_{marg_y}_{self.cond_resampling}",
-            partial(
-            _gibbs_kernel, ts=self.ts, fwd_sampler=self.fwd_sampler, sde=self.sde,
-            unpack=self.unpack, nparticles=self.nparticles,
-            transition_sampler=self.transition_sampler,
-            transition_logpdf=self.transition_logpdf,
-            likelihood_logpdf=self.likelihood_logpdf,
-            marg_y=marg_y, explicit_backward=explicit_backward,
-            explicit_final=explicit_final, fused_kernel=self.fused_kernel,
-            cond_resampling=self._cond_resampling_fn(), take_fn=self.take_fn))
+            self._kernel_partial(explicit_backward, explicit_final, marg_y))
         return fn(key, x0, y0, us_star, bs_star, mask_=mask)
 
     def gibbs_sweeps(self, key: JKey, x0: JArray, y0: JArray,
@@ -227,15 +240,7 @@ class RestorationSampler:
         ``(key, x0, us_star, bs_star, x0s, accs)`` with ``x0s`` the stacked
         per-sweep draws.
         """
-        kernel = partial(
-            _gibbs_kernel, ts=self.ts, fwd_sampler=self.fwd_sampler, sde=self.sde,
-            unpack=self.unpack, nparticles=self.nparticles,
-            transition_sampler=self.transition_sampler,
-            transition_logpdf=self.transition_logpdf,
-            likelihood_logpdf=self.likelihood_logpdf,
-            marg_y=marg_y, explicit_backward=explicit_backward,
-            explicit_final=explicit_final, fused_kernel=self.fused_kernel,
-            cond_resampling=self._cond_resampling_fn(), take_fn=self.take_fn)
+        kernel = self._kernel_partial(explicit_backward, explicit_final, marg_y)
 
         def chunk(key_, x0_, y0_, us_star_, bs_star_, mask_):
             def body(carry, _):
@@ -259,12 +264,7 @@ class RestorationSampler:
         """``nsweeps`` pMCMC iterations in one dispatch (same key sequence as
         the sequential host loop).  Returns
         ``(key, uT, log_ell, ys, uTs, acc_probs)``."""
-        kernel = partial(
-            _pmcmc_kernel, ts=self.ts, fwd_ys_sampler=self.fwd_ys_sampler,
-            sde=self.sde, ref_sampler=self.ref_sampler,
-            transition_sampler=self.transition_sampler,
-            likelihood_logpdf=self.likelihood_logpdf,
-            resampling=stratified, nparticles=self.nparticles, delta=delta)
+        kernel = self._pmcmc_partial(delta)
 
         def chunk(key_, uT_, log_ell_, ys_, y0_, mask_):
             def body(carry, _):
@@ -285,14 +285,7 @@ class RestorationSampler:
                      marg_y: bool = False):
         """``ndraws`` independent bootstrap-filter draws in one dispatch.
         Returns ``(key, x0s)``."""
-        init = partial(
-            _gibbs_init, x0_shape=self.x_shape, ts=self.ts,
-            fwd_sampler=self.fwd_sampler, sde=self.sde, unpack=self.unpack,
-            transition_sampler=self.transition_sampler,
-            transition_logpdf=self.transition_logpdf,
-            likelihood_logpdf=self.likelihood_logpdf,
-            nparticles=self.nparticles, method="filter", marg_y=marg_y,
-            take_fn=self.take_fn)
+        init = self._init_partial("filter", marg_y)
 
         def chunk(key_, y0_, mask_):
             def body(k, _):
@@ -434,14 +427,7 @@ class RestorationSampler:
     def gibbs_init_multi(self, key: JKey, y0s: JArray, masks,
                          method: str = "smoother", marg_y: bool = False):
         """Vmapped :meth:`gibbs_init` over a batch of (y0, mask)."""
-        init = partial(
-            _gibbs_init, x0_shape=self.x_shape, ts=self.ts,
-            fwd_sampler=self.fwd_sampler, sde=self.sde, unpack=self.unpack,
-            transition_sampler=self.transition_sampler,
-            transition_logpdf=self.transition_logpdf,
-            likelihood_logpdf=self.likelihood_logpdf,
-            nparticles=self.nparticles, method=method, marg_y=marg_y,
-            take_fn=self.take_fn)
+        init = self._init_partial(method, marg_y)
         axes = self.mask_axes(masks)
 
         def run(key_, y0s_, masks_):
@@ -467,15 +453,7 @@ class RestorationSampler:
         image pipeline.  Returns ``(key, x0s, us_stars, bs_stars, draws,
         accs)`` with ``draws``: (nsweeps, V, *x_shape).
         """
-        kernel = partial(
-            _gibbs_kernel, ts=self.ts, fwd_sampler=self.fwd_sampler, sde=self.sde,
-            unpack=self.unpack, nparticles=self.nparticles,
-            transition_sampler=self.transition_sampler,
-            transition_logpdf=self.transition_logpdf,
-            likelihood_logpdf=self.likelihood_logpdf,
-            marg_y=marg_y, explicit_backward=explicit_backward,
-            explicit_final=explicit_final, fused_kernel=self.fused_kernel,
-            cond_resampling=self._cond_resampling_fn(), take_fn=self.take_fn)
+        kernel = self._kernel_partial(explicit_backward, explicit_final, marg_y)
         axes = self.mask_axes(masks)
         v = x0s.shape[0]
 
@@ -505,12 +483,7 @@ class RestorationSampler:
                            y0s: JArray, masks, nsweeps: int,
                            delta: Optional[float] = None):
         """Vmapped-over-y0 variant of :meth:`pmcmc_sweeps`."""
-        kernel = partial(
-            _pmcmc_kernel, ts=self.ts, fwd_ys_sampler=self.fwd_ys_sampler,
-            sde=self.sde, ref_sampler=self.ref_sampler,
-            transition_sampler=self.transition_sampler,
-            likelihood_logpdf=self.likelihood_logpdf,
-            resampling=stratified, nparticles=self.nparticles, delta=delta)
+        kernel = self._pmcmc_partial(delta)
         axes = self.mask_axes(masks)
         v = uTs.shape[0]
 
@@ -539,14 +512,7 @@ class RestorationSampler:
                            marg_y: bool = False):
         """Vmapped-over-y0 variant of :meth:`filter_draws`.
         Returns ``(key, x0s)`` with ``x0s``: (ndraws, V, *x_shape)."""
-        init = partial(
-            _gibbs_init, x0_shape=self.x_shape, ts=self.ts,
-            fwd_sampler=self.fwd_sampler, sde=self.sde, unpack=self.unpack,
-            transition_sampler=self.transition_sampler,
-            transition_logpdf=self.transition_logpdf,
-            likelihood_logpdf=self.likelihood_logpdf,
-            nparticles=self.nparticles, method="filter", marg_y=marg_y,
-            take_fn=self.take_fn)
+        init = self._init_partial("filter", marg_y)
         axes = self.mask_axes(masks)
         v = y0s.shape[0]
 
@@ -574,12 +540,7 @@ class RestorationSampler:
 
     def pmcmc_step(self, key: JKey, uT: JArray, log_ell, ys: JArray, y0: JArray,
                    mask, delta: Optional[float] = None):
-        fn = self._jit(f"pmcmc_{delta}", partial(
-            _pmcmc_kernel, ts=self.ts, fwd_ys_sampler=self.fwd_ys_sampler,
-            sde=self.sde, ref_sampler=self.ref_sampler,
-            transition_sampler=self.transition_sampler,
-            likelihood_logpdf=self.likelihood_logpdf,
-            resampling=stratified, nparticles=self.nparticles, delta=delta))
+        fn = self._jit(f"pmcmc_{delta}", self._pmcmc_partial(delta))
         return fn(key, uT, log_ell, ys, y0, mask_=mask)
 
     def make_gibbs_chains(self, y0: JArray, mask, nchains: int,
@@ -595,15 +556,7 @@ class RestorationSampler:
         the toy experiments (``experiments/toy/gp_gibbs.py:172-173``) —
         image chains there run strictly sequentially.
         """
-        kernel = partial(_gibbs_kernel, ts=self.ts, fwd_sampler=self.fwd_sampler,
-                         sde=self.sde, unpack=self.unpack, nparticles=self.nparticles,
-                         transition_sampler=self.transition_sampler,
-                         transition_logpdf=self.transition_logpdf,
-                         likelihood_logpdf=self.likelihood_logpdf,
-                         marg_y=marg_y, explicit_backward=explicit_backward,
-                         explicit_final=explicit_final,
-                         fused_kernel=self.fused_kernel,
-                         cond_resampling=self._cond_resampling_fn())
+        kernel = self._kernel_partial(explicit_backward, explicit_final, marg_y)
 
         def one_step(key_, x0, us_star, bs_star):
             x0, us_star, bs_star, acc = kernel(key_, x0, y0, us_star, bs_star,

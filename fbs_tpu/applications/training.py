@@ -89,6 +89,12 @@ def train_score_model(key: JKey,
     ema_param = param if init_ema_param is None else init_ema_param
     opt_state = optimiser.init(param)
 
+    # Burn the per-epoch splits of the skipped epochs so a resumed run's
+    # epoch-i data keys equal a fresh run's (the split chain below is the
+    # only consumer of `key`).
+    for _ in range(start_epoch):
+        key, _ = jax.random.split(key)
+
     for i in range(start_epoch, nepochs):
         key, subkey = jax.random.split(key)
         perm_inds = dataset.init_enumeration(subkey, batch_size)

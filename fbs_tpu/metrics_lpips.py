@@ -145,5 +145,10 @@ def params_from_torch_state_dicts(alexnet_sd: Dict, lpips_sd: Dict) -> Dict:
         params[f"conv{i}_b"] = arr(alexnet_sd[f"features.{fi}.bias"])
         lin = lpips_sd.get(f"lin{i}.model.1.weight",
                            lpips_sd.get(f"lins.{i}.model.1.weight"))
+        if lin is None:
+            raise KeyError(
+                f"LPIPS state dict missing calibration head {i}: expected "
+                f"'lin{i}.model.1.weight' or 'lins.{i}.model.1.weight' "
+                f"(got keys {sorted(lpips_sd)[:8]}...)")
         params[f"lin{i}_w"] = jnp.reshape(arr(lin), (-1,))
     return params

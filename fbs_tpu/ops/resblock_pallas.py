@@ -51,6 +51,13 @@ def _pick_batch_tile(batch: int, h: int, w: int, cin: int, cout: int,
         + h * w * cout * 4 * 2                    # f32 accumulators
         + h * w * (cin + cout) * 4                # in/out tiles
     )
+    if per_sample > max_vmem_bytes:
+        raise ValueError(
+            f"fused_resblock: one sample's working set "
+            f"({per_sample / 2 ** 20:.1f} MiB at {h}x{w}x{cin}->{cout}) exceeds "
+            f"the VMEM budget ({max_vmem_bytes / 2 ** 20:.0f} MiB); this kernel "
+            f"targets small feature maps (e.g. 28x28) — use the XLA path at "
+            f"this resolution.")
     budget = max(1, max_vmem_bytes // per_sample)
     bb = 1
     for d in range(1, batch + 1):
