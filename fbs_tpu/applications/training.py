@@ -31,7 +31,9 @@ __all__ = ["make_lr_schedule", "make_optimiser", "train_score_model", "DSBTraine
 def make_lr_schedule(schedule: str, lr: float, nepochs: int, nsteps_per_epoch: int):
     """'cos' / 'exp' / 'const' schedules (reference ``train.py:92-98``)."""
     if schedule == "cos":
-        until_steps = int(0.95 * nepochs) * nsteps_per_epoch
+        # 95% of the run, like the reference — but never 0 (nepochs=1 smoke
+        # runs would otherwise hit optax's positive-decay_steps check).
+        until_steps = max(1, int(0.95 * nepochs) * nsteps_per_epoch)
         return optax.cosine_decay_schedule(init_value=lr, decay_steps=until_steps, alpha=1e-2)
     if schedule == "exp":
         return optax.exponential_decay(lr, nsteps_per_epoch, 0.96)
