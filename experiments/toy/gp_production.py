@@ -42,6 +42,15 @@ def parse_args():
                         default="gibbs-eb,pmcmc-0.005,pmcmc-0.001,filter,twisted,csgm")
     parser.add_argument("--chunk", type=int, default=50,
                         help="Draws per scan step for the one-shot methods.")
+    parser.add_argument("--chunk_twisted", type=int, default=5,
+                        help="Draws per dispatch for twisted SMC.  Each twisted "
+                             "draw carries a per-particle grad of the twisting "
+                             "logpdf through the 200-step scan, so a full-size "
+                             "chunk exceeds the TPU tunnel's ~2min dispatch "
+                             "ceiling and crashes the remote worker.")
+    parser.add_argument("--skip_existing", action="store_true",
+                        help="Skip a method whose last-rep artifact already "
+                             "exists (crash-resume for the production queue).")
     parser.add_argument("--dispatch_sweeps", type=int, default=500,
                         help="Sweeps per device dispatch: the scan is chunked "
                              "so no single XLA execution exceeds the TPU "
@@ -86,8 +95,16 @@ def main():
     gp_means, gp_covs = np.stack(gp_means), np.stack(gp_covs)
     master = jax.random.PRNGKey(999)
 
+    def done(tag):
+        if args.skip_existing and os.path.exists(f"./toy/results/{tag}-{nmc - 1}.npz"):
+            print(f"{tag}: results exist, skipping")
+            return True
+        return False
+
     def run_mcmc(tag, init_one, step_one):
         """Vmapped-over-reps MCMC: init once, scan sweeps in bounded chunks."""
+        if done(tag):
+            return
         t0 = time.time()
         keys = jax.random.split(jax.random.fold_in(master, hash(tag) % (2 ** 31)), nmc)
         state = jax.jit(jax.vmap(init_one))(keys, y0s)
@@ -108,10 +125,12 @@ def main():
             save(args, tag, i, samples[i], gp_means[i], gp_covs[i])
         print(f"{tag}: {nsamples} samples x {nmc} reps in {time.time() - t0:.1f}s")
 
-    def run_oneshot(tag, draw_one):
+    def run_oneshot(tag, draw_one, chunk=None):
         """Independent draws: scan over chunks of vmapped (rep, draw) grids."""
+        if done(tag):
+            return
         t0 = time.time()
-        chunk = args.chunk
+        chunk = chunk or args.chunk
         nchunks = -(-nsamples // chunk)
 
         @jax.jit
