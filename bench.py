@@ -106,13 +106,16 @@ def time_sweep(nparticles, nsteps, dim, image_shape, compute_dtype, nreps,
                                                 fused_resblock=fused_resblock)
     key = jax.random.PRNGKey(0)
     x0_, us_, bs_, _ = sweep(key, x0, us_star, bs_star)  # compile + warmup
-    jax.block_until_ready(x0_)
+    float(jnp.sum(x0_))  # value fetch: see the note in the timed loop below
 
     t0 = time.perf_counter()
     for _ in range(nreps):
         key, sub = jax.random.split(key)
         x0_, us_, bs_, _ = sweep(sub, x0_, us_, bs_)
-    jax.block_until_ready(x0_)
+    # Force a device->host value fetch: through the remote-TPU tunnel
+    # block_until_ready can return at enqueue time, which once timed a full
+    # 256^2 sweep at 0.0 s.  A scalar readback cannot lie.
+    float(jnp.sum(x0_))
     return (time.perf_counter() - t0) / nreps
 
 

@@ -27,6 +27,14 @@ from fbs_tpu.compile_cache import enable as _enable_compile_cache
 _enable_compile_cache()
 
 
+def _fetch(x):
+    """Force a device->host value fetch.  Through the remote-TPU tunnel
+    ``jax.block_until_ready`` can return at enqueue time (it once timed a
+    full 256^2 sweep at 0.0 s); a scalar readback cannot lie."""
+    import jax.numpy as jnp
+    return float(jnp.sum(x))
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--nparticles", type=int, nargs="+", default=[64])
@@ -74,14 +82,14 @@ def main():
             key = jax.random.PRNGKey(0)
             t0 = time.perf_counter()
             x0_, us_, bs_, _ = sweep(key, x0, us_star, bs_star)
-            jax.block_until_ready(x0_)
+            _fetch(x0_)
             compile_and_first = time.perf_counter() - t0
 
             t0 = time.perf_counter()
             for _ in range(args.nreps):
                 key, sub = jax.random.split(key)
                 x0_, us_, bs_, _ = sweep(sub, x0_, us_, bs_)
-            jax.block_until_ready(x0_)
+            _fetch(x0_)
             sec = (time.perf_counter() - t0) / args.nreps
 
             stats = jax.local_devices()[0].memory_stats() or {}
@@ -145,7 +153,7 @@ def _run_timechunked(args, xs, shape):
             x0n, usn, bsn, acc = sampler.gibbs_step_timechunked(
                 jax.random.PRNGKey(2), x0, y0, us_star, bs_star, mask,
                 steps_per_dispatch=args.nsteps)
-            jax.block_until_ready(x0n)
+            _fetch(x0n)
             first = time.perf_counter() - t0
 
             t0 = time.perf_counter()
@@ -153,7 +161,7 @@ def _run_timechunked(args, xs, shape):
                 x0n, usn, bsn, acc = sampler.gibbs_step_timechunked(
                     jax.random.PRNGKey(3), x0n, y0, usn, bsn, mask,
                     steps_per_dispatch=args.nsteps)
-            jax.block_until_ready(x0n)
+            _fetch(x0n)
             sec = (time.perf_counter() - t0) / args.nreps
 
             stats = jax.local_devices()[0].memory_stats() or {}
