@@ -26,7 +26,7 @@ run() { echo "=== $(date +%H:%M:%S) $*"; python "$@"; }
 
 if [[ "$STAGE" == *a* ]]; then
   # ---- N=10 rows: 10 y0 chains vmapped -> ~110-image score batches. ----
-  M10="--nparticles=10 --ny0s=$NY --nsamples=$NS10 --y0s_per_dispatch=10 --sweeps_per_dispatch=5"
+  M10="--nparticles=10 --ny0s=$NY --nsamples=$NS10 --y0s_per_dispatch=20 --sweeps_per_dispatch=5"
   run imgs/inpainting.py $COMMON $M10 --rect_size=15 --method=gibbs-eb-ef
   run imgs/supr.py       $COMMON $M10 --rate=4       --method=gibbs-eb-ef
   run imgs/inpainting.py $COMMON $M10 --rect_size=15 --method=filter
@@ -43,7 +43,7 @@ fi
 
 if [[ "$STAGE" == *b* ]]; then
   # ---- N=100 rows: score batch is already >=100; chunk sweeps only. ----
-  M100="--nparticles=100 --ny0s=$NY --nsamples=$NS100 --y0s_per_dispatch=2 --sweeps_per_dispatch=2"
+  M100="--nparticles=100 --ny0s=$NY --nsamples=$NS100 --y0s_per_dispatch=4 --sweeps_per_dispatch=2"
   run imgs/inpainting.py $COMMON $M100 --rect_size=15 --method=gibbs-eb-ef
   run imgs/supr.py       $COMMON $M100 --rate=4       --method=gibbs-eb-ef
   run imgs/inpainting.py $COMMON $M100 --rect_size=15 --method=pmcmc-0.005
