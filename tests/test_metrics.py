@@ -15,14 +15,44 @@ def _imgs():
     return np.asarray(ref, np.float64), np.asarray(img, np.float64)
 
 
-def test_psnr_matches_skimage():
-    skimage = pytest.importorskip("skimage.metrics")
+def _ssim_oracle(ref2d, img2d, data_range=1.0, win_size=7, k1=0.01, k2=0.03):
+    """Independent SSIM oracle: the published algorithm (Wang et al. 2004) in
+    NumPy + ``scipy.ndimage.uniform_filter`` — the exact computational path
+    of skimage's ``structural_similarity(gaussian_weights=False)``, which is
+    a thin wrapper over the same scipy filter.  Windows are means over
+    ``win_size`` squares with unbiased sample covariances; the score is the
+    mean of the SSIM map over pixels whose window lies fully inside the
+    image (skimage's ``crop(pad)``)."""
+    from scipy.ndimage import uniform_filter
+
+    pad = (win_size - 1) // 2
+    cov_norm = win_size ** 2 / (win_size ** 2 - 1.0)
+    f = lambda x: uniform_filter(x, size=win_size)
+    ux, uy = f(ref2d), f(img2d)
+    vx = cov_norm * (f(ref2d * ref2d) - ux * ux)
+    vy = cov_norm * (f(img2d * img2d) - uy * uy)
+    vxy = cov_norm * (f(ref2d * img2d) - ux * uy)
+    c1, c2 = (k1 * data_range) ** 2, (k2 * data_range) ** 2
+    s = ((2 * ux * uy + c1) * (2 * vxy + c2)) / ((ux ** 2 + uy ** 2 + c1) * (vx + vy + c2))
+    return s[pad:-pad, pad:-pad].mean()
+
+
+def test_psnr_matches_oracle():
+    """PSNR vs the definition (skimage's peak_signal_noise_ratio)."""
     ref, img = _imgs()
-    expected = skimage.peak_signal_noise_ratio(ref, img, data_range=1.0)
+    expected = 10.0 * np.log10(1.0 / np.mean((ref - img) ** 2))
     npt.assert_allclose(float(psnr(jnp.asarray(ref), jnp.asarray(img))), expected, rtol=1e-5)
 
 
+def test_ssim_matches_oracle():
+    ref, img = _imgs()
+    expected = _ssim_oracle(ref[..., 0], img[..., 0])
+    got = float(ssim(jnp.asarray(ref), jnp.asarray(img), win_size=7))
+    npt.assert_allclose(got, expected, rtol=1e-4)
+
+
 def test_ssim_matches_skimage():
+    """The original third-party parity check, when skimage is installed."""
     skimage = pytest.importorskip("skimage.metrics")
     ref, img = _imgs()
     expected = skimage.structural_similarity(ref[..., 0], img[..., 0],
