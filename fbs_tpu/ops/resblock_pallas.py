@@ -66,18 +66,55 @@ def _pick_batch_tile(batch: int, h: int, w: int, cin: int, cout: int,
     return bb
 
 
+def _pool_one_hot(rows, cols, divisor, axis):
+    """One-hot pooling matrix from 2-D broadcasted iotas.
+
+    ``axis=0``: M[i, j] = 1.0 iff i // divisor == j (fine axis on rows);
+    ``axis=1``: M[i, j] = 1.0 iff j // divisor == i (fine axis on cols).
+    Mosaic has no gather/one_hot, but iota compares lower cleanly.
+    """
+    ri = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+    eq = (ri // divisor == ci) if axis == 0 else (ri == ci // divisor)
+    return eq.astype(jnp.float32)
+
+
+def _mm(a, b):
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 def _gn_film_swish(acc, gn_scale, gn_bias, film_scale, film_shift, groups, eps,
                    bb, hw, c):
-    """acc: (bb*hw, c) f32 -> normalised+FiLM+swish, same shape/dtype."""
-    g = acc.reshape(bb, hw, groups, c // groups)
-    mean = jnp.mean(g, axis=(1, 3), keepdims=True)
-    var = jnp.mean(jnp.square(g - mean), axis=(1, 3), keepdims=True)
-    g = (g - mean) * jax.lax.rsqrt(var + eps)
-    h = g.reshape(bb, hw, c) * gn_scale.reshape(1, 1, c) + gn_bias.reshape(1, 1, c)
+    """acc: (bb*hw, c) f32 -> normalised+FiLM+swish, same shape/dtype.
+
+    GroupNorm statistics are computed with one-hot pooling matmuls instead of
+    a reshape to (bb, hw, groups, c//groups): Mosaic cannot shape-cast a
+    vector whose lane (minormost) dim splits (observed
+    ``infer-vector-layout: unsupported shape cast`` on real TPU), and the
+    stats matmuls are noise next to the convs (<2% of the block's FLOPs).
+    """
+    cg = c // groups
+    n = hw * cg
+    # Pooling one-hots: channels<->groups and rows<->samples (trace-time iotas).
+    ch2grp = _pool_one_hot(c, groups, cg, axis=0)   # (c, groups)
+    grp2ch = _pool_one_hot(groups, c, cg, axis=1)   # (groups, c)
+    row2smp = _pool_one_hot(bb * hw, bb, hw, axis=0)  # (bb*hw, bb)
+    smp2row = _pool_one_hot(bb, bb * hw, hw, axis=1)  # (bb, bb*hw)
+
+    # Two-pass statistics, all standard (1,)x(0,) matmuls on the MXU.
+    mean = _mm(smp2row, _mm(acc, ch2grp)) / n      # (bb, groups)
+    mean_bc = _mm(row2smp, _mm(mean, grp2ch))      # (bb*hw, c)
+    centred = acc - mean_bc
+    var = _mm(smp2row, _mm(centred * centred, ch2grp)) / n
+    inv = jax.lax.rsqrt(var + eps)                 # (bb, groups)
+    inv_bc = _mm(row2smp, _mm(inv, grp2ch))        # (bb*hw, c)
+
+    h = centred * inv_bc * gn_scale.reshape(1, c) + gn_bias.reshape(1, c)
     if film_scale is not None:
-        h = h * (1.0 + film_scale.reshape(bb, 1, c)) + film_shift.reshape(bb, 1, c)
-    h = h * jax.nn.sigmoid(h)
-    return h.reshape(bb * hw, c)
+        h = (h * (1.0 + _mm(row2smp, film_scale))
+             + _mm(row2smp, film_shift))
+    return h * jax.nn.sigmoid(h)
 
 
 def _conv3x3_from_padded(pad_ref_read, w_kernel, bb, h, w, cin, cout, dot_dtype):
