@@ -1,0 +1,27 @@
+#!/bin/bash
+# Commit the artifacts a queue stage just produced.
+#
+# The dev VM can restart between sessions, wiping everything outside git —
+# round 3 lost a full night of chip output that lived in gitignored results
+# dirs.  Queue stages therefore commit their artifacts as soon as they land.
+# flock-guarded so a concurrent manual commit never races the index.
+#
+# Usage: commit_stage.sh "message" [extra files to force-add...]
+set -u
+cd "$(dirname "$0")/.."
+MSG=${1:?commit message required}
+shift || true
+exec 9>/tmp/fbs_git.lock
+flock 9
+git add -A experiments docs STATUS.md README.md 2>/dev/null || true
+for f in "$@"; do
+  git add -f "$f" 2>/dev/null || true
+done
+if git diff --cached --quiet; then
+  echo "commit_stage: nothing to commit for: $MSG"
+  exit 0
+fi
+git commit -q -m "$MSG
+
+No-Verification-Needed: experiment artifacts / orchestration only" \
+  && echo "commit_stage: committed: $MSG"

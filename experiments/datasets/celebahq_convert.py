@@ -20,6 +20,8 @@ def main():
     args = parser.parse_args()
 
     import jax
+    if os.environ.get("FBS_PLATFORM"):  # host-side resize; keep off the TPU
+        jax.config.update("jax_platforms", os.environ["FBS_PLATFORM"])
     import jax.numpy as jnp
 
     data = np.load(args.src, mmap_mode="r")

@@ -25,12 +25,20 @@ def main():
     for np_ in args.nparticles:
         kls, bures = [], []
         for mc_id in range(args.max_mcs):
+            # Raw sample stack if present; else the compact moment artifact
+            # tracked in git (experiments/compact_results.py).
             path = f"{_EXP}/sb/results/{args.method}-{np_}-{mc_id}.npz"
-            if not os.path.exists(path):
+            cpath = f"{_EXP}/sb/results_compact/{args.method}-{np_}-{mc_id}.npz"
+            if os.path.exists(path):
+                r = np.load(path)
+                samples, gp_mean, gp_cov = r["samples"], r["gp_mean"], r["gp_cov"]
+                m, c = samples.mean(axis=0), np.cov(samples, rowvar=False)
+            elif os.path.exists(cpath):
+                r = np.load(cpath)
+                m, c, gp_mean, gp_cov = (r["means"], r["covs"],
+                                         r["gp_mean"], r["gp_cov"])
+            else:
                 continue
-            r = np.load(path)
-            samples, gp_mean, gp_cov = r["samples"], r["gp_mean"], r["gp_cov"]
-            m, c = samples.mean(axis=0), np.cov(samples, rowvar=False)
             kls.append(float(kl(gp_mean, gp_cov, m, c)))
             bures.append(float(bures_dist(gp_mean, gp_cov, m, c)))
         if kls:

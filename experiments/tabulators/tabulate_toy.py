@@ -23,13 +23,58 @@ from functools import partial
 from fbs_tpu.math import kl, bures_dist
 
 
+def _load_moments(results_dir: str, method: str, file_id):
+    """Per-rep first-four-moment record: ``(means, covs, skews, kurts,
+    gp_mean, gp_cov)`` with a leading chains axis when present.
+
+    Reads the raw sample stack when available; falls back to the compact
+    moment artifact written by ``experiments/compact_results.py`` (the form
+    tracked in git — raw 10k-sample stacks are too large to commit).
+    """
+    raw_path = os.path.join(results_dir, f"{method}-{file_id}.npz")
+    compact_dir = os.path.join(
+        os.path.dirname(results_dir),
+        os.path.basename(results_dir).replace("results", "results_compact"))
+    compact_path = os.path.join(compact_dir, f"{method}-{file_id}.npz")
+    if os.path.exists(raw_path):
+        results = np.load(raw_path)
+        samples, gp_mean, gp_cov = (results["samples"], results["gp_mean"],
+                                    results["gp_cov"])
+        if samples.ndim == 3:  # chains axis first (gibbs/pmcmc)
+            means = np.asarray(jax.vmap(partial(jnp.mean, axis=0))(samples))
+            covs = np.asarray(jax.vmap(partial(jnp.cov, rowvar=False))(samples))
+            skews = scipy.stats.skew(samples, axis=1)
+            kurts = scipy.stats.kurtosis(samples, axis=1)
+        else:
+            means = np.mean(samples, axis=0)
+            covs = np.cov(samples, rowvar=False)
+            skews = scipy.stats.skew(samples, axis=0)
+            kurts = scipy.stats.kurtosis(samples, axis=0)
+        return means, covs, skews, kurts, gp_mean, gp_cov
+    if os.path.exists(compact_path):
+        r = np.load(compact_path)
+        return (r["means"], r["covs"], r["skews"], r["kurts"],
+                r["gp_mean"], r["gp_cov"])
+    raise FileNotFoundError(f"{raw_path} (nor compact {compact_path})")
+
+
+def _list_mc_ids(results_dir: str, method: str):
+    import glob
+    ids = set()
+    for d in (results_dir,
+              os.path.join(os.path.dirname(results_dir),
+                           os.path.basename(results_dir).replace(
+                               "results", "results_compact"))):
+        for p in glob.glob(os.path.join(d, f"{method}-*.npz")):
+            tail = os.path.basename(p)[len(method) + 1:-4]
+            if tail.isdigit():
+                ids.add(int(tail))
+    return sorted(ids)
+
+
 def tabulate(method: str, max_mcs=None, results_dir: str = f"{_EXP}/toy/results"):
     if max_mcs is None:  # default to every committed repetition on disk
-        import glob
-        files = glob.glob(os.path.join(results_dir, f"{method}-*.npz"))
-        mc_ids = sorted(int(os.path.basename(p)[len(method) + 1:-4])
-                        for p in files
-                        if os.path.basename(p)[len(method) + 1:-4].isdigit())
+        mc_ids = _list_mc_ids(results_dir, method)
         if not mc_ids:
             raise FileNotFoundError(f"no {method}-*.npz under {results_dir}")
     else:
@@ -39,31 +84,26 @@ def tabulate(method: str, max_mcs=None, results_dir: str = f"{_EXP}/toy/results"
             ("m", "var", "kl", "bures", "skew", "kurt")}
 
     for mc_id, file_id in enumerate(mc_ids):
-        results = np.load(os.path.join(results_dir, f"{method}-{file_id}.npz"))
-        samples, gp_mean, gp_cov = (results["samples"], results["gp_mean"],
-                                    results["gp_cov"])
+        means, covs, skews, kurts, gp_mean, gp_cov = _load_moments(
+            results_dir, method, file_id)
 
-        if samples.ndim == 3:  # chains axis first (gibbs/pmcmc)
-            approx_means = jax.vmap(partial(jnp.mean, axis=0))(samples)
-            approx_covs = jax.vmap(partial(jnp.cov, rowvar=False))(samples)
-            errs["m"][mc_id] = np.mean(jnp.abs(approx_means - gp_mean[None, :]))
-            errs["var"][mc_id] = np.mean(jnp.abs(
-                jnp.diagonal(approx_covs - gp_cov[None], axis1=1, axis2=2)))
+        if means.ndim == 2:  # chains axis first (gibbs/pmcmc)
+            errs["m"][mc_id] = np.mean(np.abs(means - gp_mean[None, :]))
+            errs["var"][mc_id] = np.mean(np.abs(
+                np.diagonal(covs - gp_cov[None], axis1=1, axis2=2)))
             errs["kl"][mc_id] = np.mean(jax.vmap(kl, in_axes=[None, None, 0, 0])(
-                gp_mean, gp_cov, approx_means, approx_covs))
+                gp_mean, gp_cov, means, covs))
             errs["bures"][mc_id] = np.mean(jax.vmap(bures_dist, in_axes=[None, None, 0, 0])(
-                gp_mean, gp_cov, approx_means, approx_covs))
-            errs["skew"][mc_id] = np.mean(np.abs(scipy.stats.skew(samples, axis=1)))
-            errs["kurt"][mc_id] = np.mean(np.abs(scipy.stats.kurtosis(samples, axis=1)))
+                gp_mean, gp_cov, means, covs))
+            errs["skew"][mc_id] = np.mean(np.abs(skews))
+            errs["kurt"][mc_id] = np.mean(np.abs(kurts))
         else:
-            approx_mean = np.mean(samples, axis=0)
-            approx_cov = np.cov(samples, rowvar=False)
-            errs["m"][mc_id] = np.mean(np.abs(approx_mean - gp_mean))
-            errs["var"][mc_id] = np.mean(np.abs(np.diag(approx_cov) - np.diag(gp_cov)))
-            errs["kl"][mc_id] = float(kl(gp_mean, gp_cov, approx_mean, approx_cov))
-            errs["bures"][mc_id] = float(bures_dist(gp_mean, gp_cov, approx_mean, approx_cov))
-            errs["skew"][mc_id] = np.mean(np.abs(scipy.stats.skew(samples, axis=0)))
-            errs["kurt"][mc_id] = np.mean(np.abs(scipy.stats.kurtosis(samples, axis=0)))
+            errs["m"][mc_id] = np.mean(np.abs(means - gp_mean))
+            errs["var"][mc_id] = np.mean(np.abs(np.diag(covs) - np.diag(gp_cov)))
+            errs["kl"][mc_id] = float(kl(gp_mean, gp_cov, means, covs))
+            errs["bures"][mc_id] = float(bures_dist(gp_mean, gp_cov, means, covs))
+            errs["skew"][mc_id] = np.mean(np.abs(skews))
+            errs["kurt"][mc_id] = np.mean(np.abs(kurts))
 
     print(f"Method {method} | "
           f"KL | {errs['kl'].mean():.4f} {errs['kl'].std():.4f} | "
