@@ -38,7 +38,7 @@ SHAPES = [
 
 
 def main():
-    from fbs_tpu.ops.resblock_pallas import fused_resblock
+    from fbs_tpu.ops.resblock_pallas import fused_resblock, resblock_reference
 
     interp = jax.default_backend() != "tpu"
     for tag, h, w, cx, cs, co in SHAPES:
@@ -66,8 +66,18 @@ def main():
                                      wsc, bsc, interpret=interp)
             float(jnp.sum(out))
             per = (time.perf_counter() - t0) / 10
+            # Numerical parity on the same backend (bf16 matmuls in the
+            # kernel vs f32 reference => loose tolerance; catches layout
+            # bugs, not rounding).
+            ref = resblock_reference(
+                jnp.asarray(x, jnp.float32),
+                None if skip is None else jnp.asarray(skip, jnp.float32),
+                jnp.asarray(film, jnp.float32), w1, b, g, b, w2, b, g, b,
+                wsc, bsc)
+            err = float(jnp.max(jnp.abs(out - ref))
+                        / (jnp.max(jnp.abs(ref)) + 1e-9))
             print(f"{tag}: OK compile {compile_s:.1f}s run {per * 1e3:.3f} ms "
-                  f"(B={B} {h}x{w} {cin}->{co})", flush=True)
+                  f"rel_err {err:.2e} (B={B} {h}x{w} {cin}->{co})", flush=True)
         except Exception as e:
             print(f"{tag}: FAIL {type(e).__name__}: {str(e)[:160]}", flush=True)
 

@@ -11,16 +11,30 @@ batch 104, 4.04 ms): convolutions are only ~7% of time; norm statistics
 itself* measured slower than XLA (see ``docs/architecture.md``) — this one
 swallows both convs.
 
-Design (per grid step = one batch tile of ``bb`` samples, everything VMEM):
+Design (per grid step = one batch tile of ``bb`` samples, everything VMEM,
+every tensor a plain 2-D matrix in raster order):
 
-1. zero-pad the tile into a (bb, H+2, W+2, Cin) scratch;
-2. conv1 as 9 shifted matmuls  (bb*H*W, Cin) @ (Cin, C) accumulated in f32
-   on the MXU (an im2col-free formulation — no gather, static slices);
-3. per-sample GroupNorm statistics + affine + time-FiLM + swish on the VPU
-   (f32), written into the second padded scratch;
-4. conv2 as 9 shifted matmuls;
-5. GroupNorm + swish;
-6. shortcut (identity or 1x1 matmul) + residual add; cast and write out.
+1. read the tile as an (R, Cin) matrix, R = bb*H*W raster rows;
+2. conv as 9 shifted matmuls: for each tap (dy, dx) the neighbour pixel is
+   ``rows + dy*W + dx`` in raster order, realised as a static
+   ``pltpu.roll`` along the sublane (row) axis plus an iota-derived
+   validity mask that zeroes rows whose neighbour falls outside the image
+   (this also kills the roll's wrap-around and any cross-sample bleed);
+   each masked shift feeds an (R, Cin) @ (Cin, C) MXU matmul accumulated
+   in f32.  No padded scratch, no strided slicing, no gather;
+3. per-sample GroupNorm statistics via one-hot pooling matmuls (Mosaic has
+   no grouped reshape on the lane dim), then affine + time-FiLM + swish on
+   the VPU;
+4. conv2 the same way; GroupNorm + swish;
+5. shortcut (identity, or per-input 1x1 matmuls — the logical channel
+   concat of (x, skip) is never materialised: ``conv([x; s]) =
+   conv_x(x) + conv_s(s)`` with the kernel split along Cin) + residual add.
+
+Mosaic-robustness notes (probed on the real chip, round 3): block shapes
+keep their last two dims either full-size or (8, 128)-aligned — in
+particular FiLM travels as (B, 1, 2C) so the batch tile never lands in the
+sublane slot, and per-channel parameters travel as (1, C); the batch tile
+``bb`` is chosen so R = bb*H*W is a multiple of 8 (sublane-aligned rolls).
 
 Weight standardisation is pre-applied to the conv kernels
 (``fbs_tpu.nn.unet.standardize_ws_kernels``) — parameters are frozen during
@@ -32,8 +46,6 @@ rebuild of reference ``fbs/nn/unet.py:127-172``).
 from __future__ import annotations
 
 import functools
-import math
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -45,12 +57,9 @@ __all__ = ["fused_resblock", "resblock_reference"]
 
 def _pick_batch_tile(batch: int, h: int, w: int, cin: int, cout: int,
                      max_vmem_bytes: int = 12 * 1024 * 1024) -> int:
-    """Largest divisor of ``batch`` whose working set fits VMEM."""
-    per_sample = (
-        (h + 2) * (w + 2) * (cin + cout) * 4      # two padded scratches (f32)
-        + h * w * cout * 4 * 2                    # f32 accumulators
-        + h * w * (cin + cout) * 4                # in/out tiles
-    )
+    """Largest divisor of ``batch`` whose working set fits VMEM and whose
+    row count bb*h*w is sublane-aligned (multiple of 8)."""
+    per_sample = h * w * (cin * 3 + cout * 5) * 4   # f32 mats + shift copies
     if per_sample > max_vmem_bytes:
         raise ValueError(
             f"fused_resblock: one sample's working set "
@@ -59,10 +68,17 @@ def _pick_batch_tile(batch: int, h: int, w: int, cin: int, cout: int,
             f"targets small feature maps (e.g. 28x28) — use the XLA path at "
             f"this resolution.")
     budget = max(1, max_vmem_bytes // per_sample)
-    bb = 1
+    bb = 0
     for d in range(1, batch + 1):
-        if batch % d == 0 and d <= budget and d <= 16:
+        if batch % d == 0 and d <= budget and d <= 16 and (d * h * w) % 8 == 0:
             bb = d
+    if bb == 0:  # no aligned divisor — fall back to whole-batch if it fits
+        if batch * h * w % 8 == 0 and batch <= budget:
+            bb = batch
+        else:
+            raise ValueError(
+                f"fused_resblock: no batch tile of {batch} gives 8-aligned "
+                f"raster rows at {h}x{w}")
     return bb
 
 
@@ -93,6 +109,7 @@ def _gn_film_swish(acc, gn_scale, gn_bias, film_scale, film_shift, groups, eps,
     vector whose lane (minormost) dim splits (observed
     ``infer-vector-layout: unsupported shape cast`` on real TPU), and the
     stats matmuls are noise next to the convs (<2% of the block's FLOPs).
+    ``gn_scale``/``gn_bias`` arrive as (1, c); ``film_*`` as (bb, c) or None.
     """
     cg = c // groups
     n = hw * cg
@@ -110,72 +127,90 @@ def _gn_film_swish(acc, gn_scale, gn_bias, film_scale, film_shift, groups, eps,
     inv = jax.lax.rsqrt(var + eps)                 # (bb, groups)
     inv_bc = _mm(row2smp, _mm(inv, grp2ch))        # (bb*hw, c)
 
-    h = centred * inv_bc * gn_scale.reshape(1, c) + gn_bias.reshape(1, c)
+    h = centred * inv_bc * gn_scale + gn_bias
     if film_scale is not None:
         h = (h * (1.0 + _mm(row2smp, film_scale))
              + _mm(row2smp, film_shift))
     return h * jax.nn.sigmoid(h)
 
 
-def _conv3x3_from_padded(pad_ref_read, w_kernel, bb, h, w, cin, cout, dot_dtype):
-    """9 shifted matmuls over a (bb, h+2, w+2, cin) padded array."""
-    acc = jnp.zeros((bb * h * w, cout), jnp.float32)
-    for dy in range(3):
-        for dx in range(3):
-            window = pad_ref_read[:, dy:dy + h, dx:dx + w, :]
-            lhs = window.reshape(bb * h * w, cin).astype(dot_dtype)
-            rhs = w_kernel[dy, dx].astype(dot_dtype)
+def _tap_mask(rows, w, h, dy, dx):
+    """(rows, 1) f32 mask: 1.0 where raster row's (dy, dx) neighbour is a
+    real pixel of the same image (kills roll wrap-around and cross-sample
+    bleed)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    x = row % w
+    y = (row // w) % h
+    ok = jnp.ones((rows, 1), jnp.bool_)
+    if dx:
+        ok = ok & (x + dx >= 0) & (x + dx < w)
+    if dy:
+        ok = ok & (y + dy >= 0) & (y + dy < h)
+    return ok.astype(jnp.float32)
+
+
+def _conv3x3_rolled(xmat, w_kernel, w, h, cout, dot_dtype):
+    """3x3 same-padding conv of a raster (R, Cin) matrix as 9 masked
+    roll+matmul taps; returns (R, cout) f32."""
+    rows = xmat.shape[0]
+    acc = jnp.zeros((rows, cout), jnp.float32)
+    for ky in range(3):
+        for kx in range(3):
+            dy, dx = ky - 1, kx - 1
+            k = dy * w + dx
+            shifted = pltpu.roll(xmat, (-k) % rows, 0) if k else xmat
+            if dy or dx:
+                shifted = shifted * _tap_mask(rows, w, h, dy, dx)
             acc = acc + jax.lax.dot_general(
-                lhs, rhs, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                shifted.astype(dot_dtype), w_kernel[ky, kx].astype(dot_dtype),
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     return acc
 
 
 def _kernel(x_ref, skip_ref, film_ref,
-            w1_ref, b1_ref, g1s_ref, g1b_ref,
+            w1x_ref, w1s_ref, b1_ref, g1s_ref, g1b_ref,
             w2_ref, b2_ref, g2s_ref, g2b_ref,
-            wsc_ref, bsc_ref,
+            wscx_ref, wscs_ref, bsc_ref,
             out_ref,
-            pad1_ref, pad2_ref,
             *, bb, h, w, cin_x, cin_skip, cout, groups, eps, has_skip,
             has_shortcut, dot_dtype):
-    cin = cin_x + cin_skip
     hw = h * w
+    rows = bb * hw
 
-    # ---- stage 0: padded input tile (joint channels: x ++ skip). ----
-    pad1_ref[...] = jnp.zeros_like(pad1_ref)
-    pad1_ref[:, 1:h + 1, 1:w + 1, :cin_x] = x_ref[...].astype(jnp.float32)
+    xmat = x_ref[...].astype(jnp.float32).reshape(rows, cin_x)
+    smat = (skip_ref[...].astype(jnp.float32).reshape(rows, cin_skip)
+            if has_skip else None)
+
+    # ---- conv1 (+bias) -> GN -> FiLM -> swish.  The logical concat of
+    # (x, skip) is never materialised: the Cin-split kernel halves act on
+    # each input and the partial sums add. ----
+    acc = _conv3x3_rolled(xmat, w1x_ref[...], w, h, cout, dot_dtype)
     if has_skip:
-        pad1_ref[:, 1:h + 1, 1:w + 1, cin_x:] = skip_ref[...].astype(jnp.float32)
-
-    # ---- conv1 (+bias) -> GN -> FiLM -> swish. ----
-    acc = _conv3x3_from_padded(pad1_ref[...], w1_ref[...], bb, h, w, cin, cout,
-                               dot_dtype)
-    acc = acc + b1_ref[...].reshape(1, cout)
-    film = film_ref[...].astype(jnp.float32)  # (bb, 2*cout)
-    h1 = _gn_film_swish(acc, g1s_ref[...].astype(jnp.float32),
-                        g1b_ref[...].astype(jnp.float32),
-                        film[:, :cout], film[:, cout:], groups, eps, bb, hw, cout)
+        acc = acc + _conv3x3_rolled(smat, w1s_ref[...], w, h, cout, dot_dtype)
+    acc = acc + b1_ref[...]
+    film = film_ref[...].astype(jnp.float32).reshape(bb, 2 * cout)
+    h1 = _gn_film_swish(acc, g1s_ref[...], g1b_ref[...],
+                        film[:, :cout], film[:, cout:], groups, eps, bb, hw,
+                        cout)
 
     # ---- conv2 (+bias) -> GN -> swish. ----
-    pad2_ref[...] = jnp.zeros_like(pad2_ref)
-    pad2_ref[:, 1:h + 1, 1:w + 1, :] = h1.reshape(bb, h, w, cout)
-    acc2 = _conv3x3_from_padded(pad2_ref[...], w2_ref[...], bb, h, w, cout, cout,
-                                dot_dtype)
-    acc2 = acc2 + b2_ref[...].reshape(1, cout)
-    h2 = _gn_film_swish(acc2, g2s_ref[...].astype(jnp.float32),
-                        g2b_ref[...].astype(jnp.float32),
+    acc2 = _conv3x3_rolled(h1, w2_ref[...], w, h, cout, dot_dtype)
+    acc2 = acc2 + b2_ref[...]
+    h2 = _gn_film_swish(acc2, g2s_ref[...], g2b_ref[...],
                         None, None, groups, eps, bb, hw, cout)
 
     # ---- shortcut + residual. ----
     if has_shortcut:
-        joint = pad1_ref[:, 1:h + 1, 1:w + 1, :].reshape(bb * hw, cin)
         res = jax.lax.dot_general(
-            joint.astype(dot_dtype), wsc_ref[...].astype(dot_dtype),
+            xmat.astype(dot_dtype), wscx_ref[...].astype(dot_dtype),
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        res = res + bsc_ref[...].reshape(1, cout)
+        if has_skip:
+            res = res + jax.lax.dot_general(
+                smat.astype(dot_dtype), wscs_ref[...].astype(dot_dtype),
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        res = res + bsc_ref[...]
     else:
-        res = x_ref[...].astype(jnp.float32).reshape(bb * hw, cout)
+        res = xmat
 
     out_ref[...] = (res + h2).reshape(bb, h, w, cout).astype(out_ref.dtype)
 
@@ -201,11 +236,8 @@ def fused_resblock(x, skip, film, w1, b1, g1s, g1b, w2, b2, g2s, g2b,
     f32 = jnp.float32
     x = x.astype(f32)
     skip = None if skip is None else skip.astype(f32)
-    film = film.astype(f32)
-    w1, b1, g1s, g1b = (a.astype(f32) for a in (w1, b1, g1s, g1b))
-    w2, b2, g2s, g2b = (a.astype(f32) for a in (w2, b2, g2s, g2b))
-    if wsc is not None:
-        wsc, bsc = wsc.astype(f32), bsc.astype(f32)
+    w1 = w1.astype(f32)
+    w2 = w2.astype(f32)
 
     B, H, W, Cx = x.shape
     Cs = 0 if skip is None else skip.shape[-1]
@@ -218,20 +250,30 @@ def fused_resblock(x, skip, film, w1, b1, g1s, g1b, w2, b2, g2s, g2b,
     bb = _pick_batch_tile(B, H, W, Cx + Cs, C)
     grid = (B // bb,)
 
-    if skip is None:
-        skip = jnp.zeros((B, H, W, 1), x.dtype)  # placeholder ref, unread
-        cs_spec = 1
+    # Mosaic-friendly operand shapes: FiLM as (B, 1, 2C) so the batch tile
+    # never occupies the sublane slot of a block shape; per-channel params
+    # as (1, C); the Cin-concatenated kernels split per input.
+    film3 = film.astype(f32).reshape(B, 1, 2 * C)
+    row = lambda a: a.astype(f32).reshape(1, C)
+    b1, g1s, g1b, b2, g2s, g2b = map(row, (b1, g1s, g1b, b2, g2s, g2b))
+    w1x, w1s = w1[:, :, :Cx, :], w1[:, :, Cx:, :]
+    if has_shortcut:
+        wsc = wsc.astype(f32)
+        wscx, wscs, bsc = wsc[:Cx], wsc[Cx:], row(bsc)
     else:
-        cs_spec = Cs
+        wscx = jnp.zeros((Cx, C), f32)
+        wscs = jnp.zeros((max(Cs, 1), C), f32)
+        bsc = jnp.zeros((1, C), f32)
+    if not has_skip:
+        skip = jnp.zeros((B, H, W, 1), f32)   # placeholder ref, unread
+        w1s = jnp.zeros((3, 3, 1, C), f32)
+        wscs = jnp.zeros((1, C), f32)
+    cs_spec = max(Cs, 1)
 
     kern = functools.partial(
         _kernel, bb=bb, h=H, w=W, cin_x=Cx, cin_skip=Cs, cout=C,
         groups=groups, eps=eps, has_skip=has_skip,
         has_shortcut=has_shortcut, dot_dtype=dot_dtype)
-
-    if wsc is None:
-        wsc = jnp.zeros((Cx + Cs, C), jnp.float32)
-        bsc = jnp.zeros((C,), jnp.float32)
 
     batch_spec = lambda c: pl.BlockSpec((bb, H, W, c), lambda i: (i, 0, 0, 0))
     const = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
@@ -242,19 +284,17 @@ def fused_resblock(x, skip, film, w1, b1, g1s, g1b, w2, b2, g2s, g2b,
         in_specs=[
             batch_spec(Cx),
             batch_spec(cs_spec),
-            pl.BlockSpec((bb, 2 * C), lambda i: (i, 0)),
-            const((3, 3, Cx + Cs, C)), const((C,)), const((C,)), const((C,)),
-            const((3, 3, C, C)), const((C,)), const((C,)), const((C,)),
-            const((Cx + Cs, C)), const((C,)),
+            pl.BlockSpec((bb, 1, 2 * C), lambda i: (i, 0, 0)),
+            const((3, 3, Cx, C)), const((3, 3, max(Cs, 1), C)),
+            const((1, C)), const((1, C)), const((1, C)),
+            const((3, 3, C, C)), const((1, C)), const((1, C)), const((1, C)),
+            const((Cx, C)), const((max(Cs, 1), C)), const((1, C)),
         ],
         out_specs=batch_spec(C),
         out_shape=jax.ShapeDtypeStruct((B, H, W, C), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((bb, H + 2, W + 2, Cx + Cs), jnp.float32),
-            pltpu.VMEM((bb, H + 2, W + 2, C), jnp.float32),
-        ],
         interpret=interpret,
-    )(x, skip, film, w1, b1, g1s, g1b, w2, b2, g2s, g2b, wsc, bsc)
+    )(x, skip, film3, w1x, w1s, b1, g1s, g1b, w2, b2, g2s, g2b,
+      wscx, wscs, bsc)
 
 
 def resblock_reference(x, skip, film, w1, b1, g1s, g1b, w2, b2, g2s, g2b,
