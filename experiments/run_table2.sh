@@ -14,7 +14,7 @@ cd "$(dirname "$0")"
 
 DATASET=${1:-mnist}
 NPARTICLES=${2:-100}
-EPOCH=${3:-499}
+EPOCH=${3:-2999}
 NY0S=${4:-20}
 NSAMPLES=${5:-20}
 NSTEPS=${6:-1000}
