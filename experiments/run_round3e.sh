@@ -28,6 +28,20 @@ past_deadline() {
 stage() { echo "=== $(date -u +%H:%M:%S) $*"; }
 bail() { stage "deadline $DEADLINE; stopping before: $*"; touch "$LOG/DONE"; exit 0; }
 
+# Seconds left until DEADLINE, capped at $1 — so a long stage started late is
+# cut AT the deadline instead of straddling it (timeout 12600 from a 02:00
+# start would hold the chip until 05:30, through the driver's bench window).
+budget() {
+  local cap=$1 now target left
+  now=$(date -u +%s)
+  target=$(date -u -d "today $DEADLINE" +%s)
+  [ "$target" -lt $((now - 43200)) ] && target=$((target + 86400))
+  left=$((target - now))
+  [ "$left" -lt 60 ] && left=60
+  [ "$left" -gt "$cap" ] && left=$cap
+  echo "$left"
+}
+
 EPOCH=2999
 
 stage "1/7 fused_resblock probe (rewritten kernel) + TPU parity"
@@ -56,14 +70,14 @@ a = np.load("datasets/celeba_hq256.npy", mmap_mode="r")
 assert a.shape == (3000, 256, 256, 3), a.shape
 print("celeba_hq256 ok:", a.shape, a.dtype)
 EOF
-timeout 3600 python imgs/bench_celeba256.py --nparticles 64 --total_nsteps 1000 \
+timeout "$(budget 3600)" python imgs/bench_celeba256.py --nparticles 64 --total_nsteps 1000 \
   --nsteps 50 > "$OUT/celeba256_k1000_n64.json" 2> "$LOG/celeba256_k1000.err"
 cat "$OUT/celeba256_k1000_n64.json" || true
 tail -3 "$LOG/celeba256_k1000.err" || true
 ./commit_stage.sh "Measure the full K=1000 N=64 Gibbs sweep at 256^2 (time-chunked dispatches)"
 
 past_deadline && bail "256^2 N=128"
-timeout 3600 python imgs/bench_celeba256.py --nparticles 128 --microbatch 2 \
+timeout "$(budget 3600)" python imgs/bench_celeba256.py --nparticles 128 --microbatch 2 \
   --nsteps 25 --nreps 2 > "$OUT/celeba256_n128_microbatch.json" 2> "$LOG/celeba256_n128.err"
 cat "$OUT/celeba256_n128_microbatch.json" || true
 tail -3 "$LOG/celeba256_n128.err" || true
@@ -71,13 +85,13 @@ tail -3 "$LOG/celeba256_n128.err" || true
 
 past_deadline && bail "table stage a"
 stage "4/7 Tables 2-3 stage a: N=10 rows, five methods, ny0s=100"
-timeout 12600 ./run_table2_r3.sh "$EPOCH" 100 20 10 a > "$LOG/table2_a.log" 2>&1
+timeout "$(budget 12600)" ./run_table2_r3.sh "$EPOCH" 100 20 10 a > "$LOG/table2_a.log" 2>&1
 echo "stage a rc=$?"; grep '===' "$LOG/table2_a.log" | tail -15
 ./commit_stage.sh "Tables 2-3 stage a artifacts: N=10 rows at 100 y0s (all five methods, both tasks)"
 
 past_deadline && bail "toy N=100"
 stage "5/7 toy Table 1, N=100, 100 MC reps"
-timeout 10800 python toy/gp_production.py --d 100 --nparticles 100 \
+timeout "$(budget 10800)" python toy/gp_production.py --d 100 --nparticles 100 \
   --nsamples 10000 --nmc 100 --sde const --dispatch_sweeps 100 \
   --skip_existing > "$LOG/toy100.log" 2>&1
 tail -6 "$LOG/toy100.log" || true
@@ -88,13 +102,13 @@ python compact_results.py --roots toy/results
 
 past_deadline && bail "table stage b"
 stage "6/7 Tables 2-3 stage b: N=100 rows, ny0s=100"
-timeout 12600 ./run_table2_r3.sh "$EPOCH" 100 20 10 b > "$LOG/table2_b.log" 2>&1
+timeout "$(budget 12600)" ./run_table2_r3.sh "$EPOCH" 100 20 10 b > "$LOG/table2_b.log" 2>&1
 echo "stage b rc=$?"; grep '===' "$LOG/table2_b.log" | tail -10
 ./commit_stage.sh "Tables 2-3 stage b artifacts: N=100 rows at 100 y0s"
 
 past_deadline && bail "toy N=10 + SB ablation"
 stage "7/7 toy N=10 at 100 reps, then SB ablation"
-timeout 7200 python toy/gp_production.py --d 100 --nparticles 10 \
+timeout "$(budget 7200)" python toy/gp_production.py --d 100 --nparticles 10 \
   --nsamples 10000 --nmc 100 --sde const --dispatch_sweeps 500 \
   --skip_existing > "$LOG/toy10.log" 2>&1
 tail -4 "$LOG/toy10.log" || true
@@ -102,7 +116,7 @@ python compact_results.py --roots toy/results
 ./commit_stage.sh "Toy Table 1 artifacts at 100 MC reps, N=10 (compacted moments)"
 
 past_deadline && bail "SB ablation"
-timeout 10000 python sb/sb_production.py --d 10 --nmc 100 --nsamples 10000 \
+timeout "$(budget 10000)" python sb/sb_production.py --d 10 --nmc 100 --nsamples 10000 \
   --nparticles 4 8 16 32 64 --dispatch_sweeps 100 > "$LOG/sb_abl.log" 2>&1
 tail -12 "$LOG/sb_abl.log" || true
 python compact_results.py --roots sb/results
