@@ -49,6 +49,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -91,7 +92,11 @@ def _pool_one_hot(rows, cols, divisor, axis):
     """
     ri = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
     ci = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
-    eq = (ri // divisor == ci) if axis == 0 else (ri == ci // divisor)
+    # np.int32 scalars: under x64 a Python int would promote the i32 iotas to
+    # i64, and Mosaic's convert_element_type rule recurses forever on
+    # i32<->i64 (observed: RecursionError through jaxpr_subcomp).
+    div = np.int32(divisor)
+    eq = (ri // div == ci) if axis == 0 else (ri == ci // div)
     return eq.astype(jnp.float32)
 
 
@@ -139,13 +144,14 @@ def _tap_mask(rows, w, h, dy, dx):
     real pixel of the same image (kills roll wrap-around and cross-sample
     bleed)."""
     row = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
-    x = row % w
-    y = (row // w) % h
+    w32, h32 = np.int32(w), np.int32(h)   # keep i32 under x64 (see _pool_one_hot)
+    x = row % w32
+    y = (row // w32) % h32
     ok = jnp.ones((rows, 1), jnp.bool_)
     if dx:
-        ok = ok & (x + dx >= 0) & (x + dx < w)
+        ok = ok & (x + np.int32(dx) >= 0) & (x + np.int32(dx) < w32)
     if dy:
-        ok = ok & (y + dy >= 0) & (y + dy < h)
+        ok = ok & (y + np.int32(dy) >= 0) & (y + np.int32(dy) < h32)
     return ok.astype(jnp.float32)
 
 
@@ -158,7 +164,7 @@ def _conv3x3_rolled(xmat, w_kernel, w, h, cout, dot_dtype):
         for kx in range(3):
             dy, dx = ky - 1, kx - 1
             k = dy * w + dx
-            shifted = pltpu.roll(xmat, (-k) % rows, 0) if k else xmat
+            shifted = pltpu.roll(xmat, np.int32((-k) % rows), 0) if k else xmat
             if dy or dx:
                 shifted = shifted * _tap_mask(rows, w, h, dy, dx)
             acc = acc + jax.lax.dot_general(
