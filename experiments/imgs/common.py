@@ -108,8 +108,10 @@ def load_score_network(args, key, image_shape, T: float):
                 fused_resblock=fused_rb)
     _, array_to_dict, nn_score = make_st_nn(key, unet, image_shape, batch_size=2)
 
+    from fbs_tpu.checkpoints import load_params_npz
+
     filename = f"./checkpoints/{args.dataset}_{args.sde}_{args.test_epoch}.npz"
-    param = jnp.asarray(np.load(filename)["ema_param" if args.test_ema else "param"])
+    param = load_params_npz(filename, use_ema=args.test_ema)
     if ws_frozen:
         from jax.flatten_util import ravel_pytree
 

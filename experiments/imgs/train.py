@@ -71,9 +71,9 @@ def main():
 
     init_ema_param = None
     if args.init_from is not None:
-        ckpt = np.load(args.init_from)
-        init_param = jnp.asarray(ckpt["param"])
-        init_ema_param = jnp.asarray(ckpt["ema_param"])
+        from fbs_tpu.checkpoints import load_params_npz
+        init_param = load_params_npz(args.init_from)
+        init_ema_param = load_params_npz(args.init_from, use_ema=True)
         print(f"Warm-started from {args.init_from} at epoch {args.start_epoch}.")
 
     os.makedirs("./checkpoints", exist_ok=True)

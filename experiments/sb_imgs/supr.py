@@ -62,8 +62,10 @@ def main():
     _, _, nn_drift = make_st_nn(subkey, unet, (resolution, resolution, nchannels),
                                 batch_size=2)
 
-    ckpt = np.load(f"./checkpoints/sb_mnist_{args.sde}_{args.sb_step}.npz")
-    param_fwd, param_bwd = jnp.asarray(ckpt["param_fwd"]), jnp.asarray(ckpt["param_bwd"])
+    from fbs_tpu.checkpoints import load_sb_params_npz
+
+    param_fwd, param_bwd = load_sb_params_npz(
+        f"./checkpoints/sb_mnist_{args.sde}_{args.sb_step}.npz")
 
     def reverse_drift(uv, t):
         return nn_drift(uv, T - t, param_bwd)

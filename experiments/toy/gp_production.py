@@ -77,6 +77,13 @@ def save(args, method_tag, rep, samples, gp_mean, gp_cov):
              gp_mean=gp_mean, gp_cov=gp_cov)
 
 
+def _tag_seed(tag: str) -> int:
+    """Deterministic per-method seed (``hash()`` is process-salted, which
+    would make the production key schedule irreproducible across runs)."""
+    import zlib
+    return zlib.crc32(tag.encode()) % (2 ** 31)
+
+
 def main():
     args = parse_args()
     toy = make_toy(args)
@@ -106,7 +113,7 @@ def main():
         if done(tag):
             return
         t0 = time.time()
-        keys = jax.random.split(jax.random.fold_in(master, hash(tag) % (2 ** 31)), nmc)
+        keys = jax.random.split(jax.random.fold_in(master, _tag_seed(tag)), nmc)
         state = jax.jit(jax.vmap(init_one))(keys, y0s)
 
         def sweep(st, key_):
@@ -114,7 +121,7 @@ def main():
             return st, out
 
         scan_chunk = jax.jit(lambda st, ks: jax.lax.scan(sweep, st, ks))
-        skeys = jax.random.split(jax.random.fold_in(master, 1 + hash(tag) % (2 ** 31)),
+        skeys = jax.random.split(jax.random.fold_in(master, 1 + _tag_seed(tag)),
                                  nsamples)
         parts = []
         for lo in range(0, nsamples, args.dispatch_sweeps):
@@ -138,7 +145,7 @@ def main():
             ks = jax.random.split(key_, nmc * chunk).reshape(nmc, chunk, 2)
             return jax.vmap(jax.vmap(draw_one, in_axes=(0, None)))(ks, y0s)
 
-        ckeys = jax.random.split(jax.random.fold_in(master, 2 + hash(tag) % (2 ** 31)),
+        ckeys = jax.random.split(jax.random.fold_in(master, 2 + _tag_seed(tag)),
                                  nchunks)
         # One bounded dispatch per chunk (see --dispatch_sweeps rationale).
         samples = np.stack([np.asarray(body(k)) for k in ckeys])

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from fbs_tpu.checkpoints import save_params_npz, save_sb_params_npz
 from fbs_tpu.nn.utils import make_optax_kernel
 from fbs_tpu.typing import JArray, JKey
 
@@ -111,7 +112,7 @@ def train_score_model(key: JKey,
                 log_fn(f"epoch {i}/{nepochs} iter {j}/{nsteps_per_epoch} "
                        f"loss {float(loss):.4f}")
         if checkpoint_path is not None and (i + 1) % checkpoint_every == 0:
-            np.savez(checkpoint_path.format(epoch=i), param=param, ema_param=ema_param)
+            save_params_npz(checkpoint_path.format(epoch=i), param, ema_param)
     return param, ema_param
 
 
@@ -248,6 +249,6 @@ class DSBTrainer:
             param_fwd, param_bwd, opt_state_fwd, opt_state_bwd = self.sb_step(
                 subkey, param_fwd, param_bwd, opt_state_fwd, opt_state_bwd, sb_iter)
             if checkpoint_path is not None:
-                np.savez(checkpoint_path.format(sb_iter=sb_iter),
-                         param_fwd=param_fwd, param_bwd=param_bwd)
+                save_sb_params_npz(checkpoint_path.format(sb_iter=sb_iter),
+                                   param_fwd, param_bwd)
         return param_fwd, param_bwd

@@ -22,6 +22,42 @@ def test_npz_roundtrip(tmp_path):
     npt.assert_array_equal(load_params_npz(path, use_ema=True), np.asarray(ema))
 
 
+def test_npz_split_layout_roundtrip(tmp_path, monkeypatch):
+    """Past the size threshold the EMA vector lands in <stem>_ema.npz and
+    both layouts load identically (the committed run-of-record checkpoints
+    use the split layout to stay clear of git-host blob limits)."""
+    import fbs_tpu.checkpoints as ckpt_mod
+    monkeypatch.setattr(ckpt_mod, "_SPLIT_BYTES", 16)
+
+    param = jnp.arange(10.0)
+    ema = param * 0.5
+    path = str(tmp_path / "ckpt.npz")
+    save_params_npz(path, param, ema)
+    assert os.path.exists(str(tmp_path / "ckpt_ema.npz"))
+    assert "ema_param" not in np.load(path)
+    npt.assert_array_equal(load_params_npz(path), np.asarray(param))
+    npt.assert_array_equal(load_params_npz(path, use_ema=True), np.asarray(ema))
+
+
+def test_sb_npz_split_layout_roundtrip(tmp_path, monkeypatch):
+    import fbs_tpu.checkpoints as ckpt_mod
+    from fbs_tpu.checkpoints import load_sb_params_npz, save_sb_params_npz
+
+    fwd, bwd = jnp.arange(8.0), jnp.arange(8.0) * 2.0
+    path = str(tmp_path / "sb.npz")
+    save_sb_params_npz(path, fwd, bwd)  # combined layout
+    f, b = load_sb_params_npz(path)
+    npt.assert_array_equal(f, np.asarray(fwd))
+    npt.assert_array_equal(b, np.asarray(bwd))
+
+    monkeypatch.setattr(ckpt_mod, "_SPLIT_BYTES", 16)
+    save_sb_params_npz(path, fwd, bwd)  # split layout
+    assert os.path.exists(str(tmp_path / "sb_bwd.npz"))
+    f, b = load_sb_params_npz(path)
+    npt.assert_array_equal(f, np.asarray(fwd))
+    npt.assert_array_equal(b, np.asarray(bwd))
+
+
 def test_orbax_state_roundtrip(tmp_path):
     opt = optax.adam(1e-3)
     param = jnp.linspace(0, 1, 7)
