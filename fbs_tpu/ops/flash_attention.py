@@ -13,8 +13,14 @@ matrix:
 - :func:`flash_attention_pallas` — the fused Pallas TPU kernel (forward):
   grid over (batch*heads, q blocks), sequential KV-block loop with VMEM
   scratch accumulators, f32 softmax statistics, bf16 matmuls on the MXU.
-- :func:`flash_attention` — custom-vjp wrapper: Pallas forward on TPU,
-  JAX-flash recompute for the backward.
+- :func:`flash_attention` — custom-vjp wrapper: Pallas forward on TPU and
+  hand-written Pallas backward kernels (FlashAttention-2 style): the forward
+  additionally emits the per-row logsumexp; the backward recomputes the
+  normalised probabilities blockwise from (q, k, lse) and accumulates dQ in
+  one kernel (grid over q blocks) and dK/dV in a second (grid over kv
+  blocks), so the (N, N) score matrix is never materialised in either pass.
+  Set ``FBS_FLASH_BWD=recompute`` to fall back to differentiating the JAX
+  online-softmax path instead.
 
 Patterns follow the JAX pallas flash-attention reference implementation
 (online softmax, two-level tiling, f32 statistics).
@@ -178,22 +184,218 @@ def flash_attention_pallas(q: JArray, k: JArray, v: JArray,
     )(q, k, v)
 
 
+def _flash_fwd_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
+                          m_scr, l_scr, acc_scr, *, scale):
+    """Forward kernel that also emits the row logsumexp (bwd residual)."""
+    kv_idx = pl.program_id(2)
+    nblocks = pl.num_programs(2)
+
+    @pl.when(kv_idx == 0)
+    def _():
+        m_scr[:] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
+        l_scr[:] = jnp.zeros(l_scr.shape, jnp.float32)
+        acc_scr[:] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+
+    m_prev, l_prev = m_scr[:], l_scr[:]
+    m_curr = jnp.max(s, axis=1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_curr)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next)
+    m_scr[:] = m_next
+    l_scr[:] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+
+    v = v_ref[0]
+    acc_scr[:] = alpha * acc_scr[:] + jax.lax.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+
+    @pl.when(kv_idx == nblocks - 1)
+    def _():
+        l = jnp.maximum(l_scr[:], 1e-30)
+        o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
+        lse_ref[0] = m_scr[:] + jnp.log(l)
+
+
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                         dq_ref, dq_scr, *, scale):
+    """dQ accumulation: grid (B, q blocks, kv blocks), kv sequential.
+
+    FlashAttention-2 backward identities (P is the *normalised* softmax,
+    recovered blockwise as exp(s - lse)):
+        dP = dO V^T;  dS = P * (dP - D) * scale,  D = rowsum(dO * O);
+        dQ = dS K.
+    """
+    kv_idx = pl.program_id(2)
+
+    @pl.when(kv_idx == 0)
+    def _():
+        dq_scr[:] = jnp.zeros(dq_scr.shape, jnp.float32)
+
+    q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    p = jnp.exp(s - lse_ref[0])                              # (bq, bk)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta_ref[0]) * scale
+    dq_scr[:] += jax.lax.dot(ds.astype(k.dtype), k,
+                             preferred_element_type=jnp.float32)
+
+    @pl.when(kv_idx == pl.num_programs(2) - 1)
+    def _():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                          dk_ref, dv_ref, dk_scr, dv_scr, *, scale):
+    """dK/dV accumulation: grid (B, kv blocks, q blocks), q sequential.
+
+        dV = P^T dO;  dK = dS^T Q  (transposes realised as dot_general
+        contractions over the q axis — no explicit transpose op)."""
+    q_idx = pl.program_id(2)
+
+    @pl.when(q_idx == 0)
+    def _():
+        dk_scr[:] = jnp.zeros(dk_scr.shape, jnp.float32)
+        dv_scr[:] = jnp.zeros(dv_scr.shape, jnp.float32)
+
+    q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    p = jnp.exp(s - lse_ref[0])                              # (bq, bk)
+    dv_scr[:] += jax.lax.dot_general(p.astype(do.dtype), do,
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta_ref[0]) * scale
+    dk_scr[:] += jax.lax.dot_general(ds.astype(q.dtype), q,
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+
+    @pl.when(q_idx == pl.num_programs(2) - 1)
+    def _():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _blocks(N: int, block_q: int, block_k: int):
+    block_q, block_k = min(block_q, N), min(block_k, N)
+    assert N % block_q == 0 and N % block_k == 0, (N, block_q, block_k)
+    return block_q, block_k
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret"))
+def _flash_fwd_pallas(q, k, v, scale, block_q=512, block_k=512, interpret=False):
+    """Forward returning (o, lse); lse has shape (B, N, 1), f32."""
+    B, N, d = q.shape
+    block_q, block_k = _blocks(N, block_q, block_k)
+    kernel = functools.partial(_flash_fwd_lse_kernel, scale=scale)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, N // block_q, N // block_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((B, N, d), q.dtype),
+                   jax.ShapeDtypeStruct((B, N, 1), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret or not _on_tpu(),
+    )(q, k, v)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret"))
+def _flash_bwd_pallas(q, k, v, o, lse, do, scale,
+                      block_q=512, block_k=512, interpret=False):
+    """(dq, dk, dv) via the two FlashAttention-2 backward kernels."""
+    B, N, d = q.shape
+    block_q, block_k = _blocks(N, block_q, block_k)
+    interpret = interpret or not _on_tpu()
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1, keepdims=True)  # (B, N, 1)
+
+    qspec = lambda ax: pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, (i, j)[ax], 0),
+                                    memory_space=pltpu.VMEM)
+    kspec = lambda ax: pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, (i, j)[ax], 0),
+                                    memory_space=pltpu.VMEM)
+    rspec = lambda ax: pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, (i, j)[ax], 0),
+                                    memory_space=pltpu.VMEM)
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, scale=scale),
+        grid=(B, N // block_q, N // block_k),
+        in_specs=[qspec(0), kspec(1), kspec(1), qspec(0), rspec(0), rspec(0)],
+        out_specs=qspec(0),
+        out_shape=jax.ShapeDtypeStruct((B, N, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(q, k, v, do, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, scale=scale),
+        grid=(B, N // block_k, N // block_q),
+        in_specs=[qspec(1), kspec(0), kspec(0), qspec(1), rspec(1), rspec(1)],
+        out_specs=[kspec(0), kspec(0)],
+        out_shape=[jax.ShapeDtypeStruct((B, N, d), k.dtype),
+                   jax.ShapeDtypeStruct((B, N, d), v.dtype)],
+        scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32),
+                        pltpu.VMEM((block_k, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(q, k, v, do, lse, delta)
+    return dq, dk, dv
+
+
+def _bwd_impl() -> str:
+    import os
+    return os.environ.get("FBS_FLASH_BWD", "pallas")
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def flash_attention(q: JArray, k: JArray, v: JArray, scale: float = 1.0) -> JArray:
     """Memory-safe attention with gradient support: Pallas forward on TPU
-    (interpreter elsewhere), JAX-flash recompute backward."""
+    (interpreter elsewhere) and Pallas FlashAttention-2 backward kernels."""
     return flash_attention_pallas(q, k, v, scale=scale)
 
 
 def _fwd(q, k, v, scale):
-    return flash_attention(q, k, v, scale), (q, k, v)
+    if _bwd_impl() == "recompute":
+        return flash_attention(q, k, v, scale), (q, k, v, None, None)
+    o, lse = _flash_fwd_pallas(q, k, v, scale)
+    return o, (q, k, v, o, lse)
 
 
 def _bwd(scale, residuals, g):
-    q, k, v = residuals
-    _, vjp = jax.vjp(lambda q_, k_, v_: flash_attention_jax(q_, k_, v_, scale=scale),
-                     q, k, v)
-    return vjp(g)
+    q, k, v, o, lse = residuals
+    if o is None:
+        _, vjp = jax.vjp(lambda q_, k_, v_: flash_attention_jax(q_, k_, v_, scale=scale),
+                         q, k, v)
+        return vjp(g)
+    return _flash_bwd_pallas(q, k, v, o, lse, g, scale)
 
 
 flash_attention.defvjp(_fwd, _bwd)
