@@ -34,6 +34,9 @@ def main():
     parser.add_argument("--grad_clip", action="store_true", default=False)
     parser.add_argument("--bf16", action="store_true", default=False)
     parser.add_argument("--dp", action="store_true", default=False)
+    parser.add_argument("--start_sb", type=int, default=0,
+                        help="Warm-start: load the {start_sb-1} checkpoint and "
+                             "continue IPF from iteration start_sb.")
     args = parser.parse_args()
 
     from fbs_tpu.applications import DSBTrainer
@@ -68,9 +71,15 @@ def main():
                          mesh=mesh)
 
     os.makedirs("./checkpoints", exist_ok=True)
+    checkpoint_path = ("./checkpoints/sb_" + args.dataset + "_" + args.sde
+                       + "_{sb_iter}.npz")
+    if args.start_sb > 0:
+        from fbs_tpu.checkpoints import load_sb_params_npz
+        resume_from = checkpoint_path.format(sb_iter=args.start_sb - 1)
+        param_fwd, param_bwd = load_sb_params_npz(resume_from)
+        print(f"warm-started from {resume_from}")
     trainer.train(key_sb, param_fwd, param_bwd, nsbs=args.nsbs,
-                  checkpoint_path="./checkpoints/sb_" + args.dataset + "_"
-                                  + args.sde + "_{sb_iter}.npz")
+                  checkpoint_path=checkpoint_path, start_sb=args.start_sb)
     print("SB training done.")
 
 

@@ -241,11 +241,23 @@ class DSBTrainer:
         return param_fwd, param_bwd, opt_state_fwd, opt_state_bwd
 
     def train(self, key: JKey, param_fwd, param_bwd, nsbs: int,
-              checkpoint_path: Optional[str] = None):
+              checkpoint_path: Optional[str] = None, start_sb: int = 0):
+        """Run IPF iterations ``start_sb .. nsbs-1``.
+
+        With ``start_sb > 0``, pass the params loaded from the
+        ``{sb_iter}=start_sb-1`` checkpoint: skipped iterations still advance
+        the per-iteration key stream so the continued run consumes the same
+        keys a continuous ``nsbs``-deep run would.  Optimiser states restart
+        fresh per call (they are not checkpointed — the reference,
+        ``/root/reference/experiments/sb_imgs/train.py:204-210``, has no
+        resume at all; each IPF iteration retargets the regression anyway).
+        """
         opt_state_fwd = self.optimiser.init(param_fwd)
         opt_state_bwd = self.optimiser.init(param_bwd)
         for sb_iter in range(nsbs):
             key, subkey = jax.random.split(key)
+            if sb_iter < start_sb:
+                continue
             param_fwd, param_bwd, opt_state_fwd, opt_state_bwd = self.sb_step(
                 subkey, param_fwd, param_bwd, opt_state_fwd, opt_state_bwd, sb_iter)
             if checkpoint_path is not None:

@@ -118,6 +118,16 @@ def test_dsb_trainer_runs_one_iteration():
     assert pf.shape == (2,) and pb.shape == (2,)
     assert bool(jnp.all(jnp.isfinite(pf))) and bool(jnp.all(jnp.isfinite(pb)))
 
+    # Warm-start: re-running iteration 1 from iteration-0 params consumes the
+    # same per-iteration key stream (the only difference from the continuous
+    # run is the fresh optimiser state, which is not checkpointed).
+    pf0, pb0 = trainer.train(jax.random.PRNGKey(1),
+                             jnp.zeros((2,)), jnp.zeros((2,)), nsbs=1)
+    pf1, pb1 = trainer.train(jax.random.PRNGKey(1), pf0, pb0, nsbs=2, start_sb=1)
+    assert pf1.shape == (2,) and bool(jnp.all(jnp.isfinite(pf1)))
+    assert bool(jnp.all(jnp.isfinite(pb1)))
+    assert not jnp.allclose(pf1, pf0)  # iteration 1 actually ran
+
 
 def test_remat_loss_matches_and_grads():
     """remat=True gives the same loss/grads (recompute changes memory, not
