@@ -22,6 +22,38 @@ import numpy as np
 import scipy.stats
 
 
+def _autocorr_np(x: np.ndarray, max_lag: int = 100) -> np.ndarray:
+    """Numpy twin of ``fbs_tpu.metrics.autocorr`` (max-over-dims normalised
+    autocorrelation per lag, unbiased counts).  Kept jax-free on purpose:
+    this tool runs inside the chip queue where importing jax would open a
+    second TPU-tunnel client under the running experiment."""
+    n = x.shape[0]
+    x = x.reshape(n, -1) - x.reshape(n, -1).mean(axis=0)
+    f = np.fft.rfft(x, n=2 * n, axis=0)
+    acov = np.fft.irfft(f * np.conj(f), n=2 * n, axis=0)[: max_lag + 1].real
+    acov /= np.arange(n, n - max_lag - 1, -1)[:, None]
+    rho = acov[1:] / np.maximum(acov[0], 1e-12)
+    return rho.max(axis=1)
+
+
+def _ess_np(x: np.ndarray, max_lag: int = 200) -> float:
+    """Numpy twin of ``fbs_tpu.metrics.ess`` (Geyer initial-monotone, min
+    over dims)."""
+    n = x.shape[0]
+    x = x.reshape(n, -1).astype(np.float64)
+    x = x - x.mean(axis=0)
+    max_lag = min(max_lag, n - 2)
+    f = np.fft.rfft(x, n=2 * n, axis=0)
+    acov = np.fft.irfft(f * np.conj(f), n=2 * n, axis=0)[: max_lag + 1].real / n
+    rho = acov / np.maximum(acov[:1], 1e-30)
+    npairs = (max_lag + 1) // 2
+    pairs = rho[: 2 * npairs].reshape(npairs, 2, -1).sum(axis=1)
+    positive = np.cumprod(pairs > 0.0, axis=0).astype(bool)
+    monotone = np.minimum.accumulate(np.where(positive, pairs, 0.0), axis=0)
+    tau = -1.0 + 2.0 * np.where(positive, monotone, 0.0).sum(axis=0)
+    return float(np.min(n / np.maximum(tau, 1.0)))
+
+
 def compact_file(src: str, dst: str) -> None:
     raw = np.load(src)
     samples = raw["samples"]
@@ -33,11 +65,15 @@ def compact_file(src: str, dst: str) -> None:
         out["covs"] = np.stack([np.cov(s, rowvar=False) for s in samples]).astype(np.float32)
         out["skews"] = scipy.stats.skew(samples, axis=1).astype(np.float32)
         out["kurts"] = scipy.stats.kurtosis(samples, axis=1).astype(np.float32)
+        out["autocorr"] = np.stack([_autocorr_np(s) for s in samples]).astype(np.float32)
+        out["ess"] = np.array([_ess_np(s) for s in samples], np.float32)
     else:  # (nsamples, d)
         out["means"] = samples.mean(axis=0).astype(np.float32)
         out["covs"] = np.cov(samples, rowvar=False).astype(np.float32)
         out["skews"] = scipy.stats.skew(samples, axis=0).astype(np.float32)
         out["kurts"] = scipy.stats.kurtosis(samples, axis=0).astype(np.float32)
+        out["autocorr"] = _autocorr_np(samples).astype(np.float32)
+        out["ess"] = np.float32(_ess_np(samples))
     np.savez_compressed(dst, **out)
 
 

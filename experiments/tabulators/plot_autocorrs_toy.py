@@ -36,13 +36,25 @@ def main():
         acs, esss = [], []
         for mc_id in range(args.max_mcs):
             path = f"{_EXP}/toy/results/{method}-{mc_id}.npz"
-            if not os.path.exists(path):
-                continue
-            samples = np.load(path)["samples"]
-            if samples.ndim == 3:
-                samples = samples[0]  # first chain
-            acs.append(np.asarray(autocorr(jnp.asarray(samples), max_lag=args.max_lag)))
-            esss.append(float(ess(jnp.asarray(samples))))
+            cpath = f"{_EXP}/toy/results_compact/{method}-{mc_id}.npz"
+            if os.path.exists(path):
+                samples = np.load(path)["samples"]
+                if samples.ndim == 3:
+                    samples = samples[0]  # first chain
+                acs.append(np.asarray(autocorr(jnp.asarray(samples),
+                                               max_lag=args.max_lag)))
+                esss.append(float(ess(jnp.asarray(samples))))
+            elif os.path.exists(cpath):
+                # Committed sufficient statistics (compact_results.py) carry
+                # the per-chain curve + Geyer ESS, so the figure regenerates
+                # from a fresh clone without the raw 10k-sample stacks.
+                comp = np.load(cpath)
+                if "autocorr" not in comp:
+                    continue
+                ac, es = comp["autocorr"], comp["ess"]
+                acs.append(ac[0, : args.max_lag] if ac.ndim == 2
+                           else ac[: args.max_lag])
+                esss.append(float(es[0] if es.ndim else es))
         if not acs:
             print(f"{method}: no results")
             continue

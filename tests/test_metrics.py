@@ -94,3 +94,30 @@ def test_autocorr_decays_for_ar1():
         x[i] = rho * x[i - 1] + eps[i]
     ac = np.asarray(autocorr(jnp.asarray(x[:, None]), max_lag=5))
     npt.assert_allclose(ac, [rho ** (k + 1) for k in range(5)], atol=5e-2)
+
+
+def test_compactor_numpy_twins_match_metrics():
+    """The jax-free autocorr/ESS twins in experiments/compact_results.py
+    (the chip queue must not import jax — a second tunnel client wedges the
+    running experiment) agree with fbs_tpu.metrics on an AR(1) chain."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "compact_results",
+        os.path.join(os.path.dirname(__file__), "..", "experiments",
+                     "compact_results.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    rng = np.random.default_rng(7)
+    n, d, phi = 4000, 5, 0.6
+    x = np.zeros((n, d))
+    for t in range(1, n):
+        x[t] = phi * x[t - 1] + rng.normal(size=d)
+
+    npt.assert_allclose(mod._autocorr_np(x, max_lag=50),
+                        np.asarray(autocorr(jnp.asarray(x), max_lag=50)),
+                        rtol=1e-5, atol=1e-6)
+    npt.assert_allclose(mod._ess_np(x), float(ess(jnp.asarray(x))),
+                        rtol=1e-5)
