@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from fbs_tpu.data.images import normalise
 from fbs_tpu.metrics import psnr, ssim
 
 
@@ -105,6 +106,12 @@ def main():
         samples = np.load(sample_file)
         if true_img is None:
             continue
+        # The reference clips both the truth and the restored samples to
+        # [0, 1] before computing the metrics
+        # (/root/reference/experiments/tabulators/tabulate_imgs.py:15-17,58-62)
+        # — match that table definition.
+        true_img = np.asarray(normalise(jnp.asarray(true_img), method="clip"))
+        samples = np.clip(np.asarray(samples), 0.0, 1.0)
         psnrs.append(np.asarray(psnr_j(jnp.asarray(true_img), jnp.asarray(samples))))
         ssims.append(np.asarray(ssim_j(jnp.asarray(true_img), jnp.asarray(samples))))
         # The AlexNet trunk degenerates below ~32 px; the reference computes
