@@ -12,9 +12,32 @@ points (experiment CLIs, bench) opt in by calling :func:`enable`.
 """
 from __future__ import annotations
 
+import hashlib
 import os
 
 _DEFAULT_DIR = os.path.expanduser("~/.cache/fbs_tpu_xla")
+
+
+def _host_signature() -> str:
+    """Short stable hash of this host's CPU feature set.
+
+    XLA:CPU persists AOT-compiled executables whose cache key does not
+    include the host's CPU features; loading an entry produced on a
+    different machine (this VM is recreated with varying CPU models)
+    logs a wall of ``cpu_aot_loader`` errors and can in principle SIGILL.
+    CPU cache entries are therefore scoped per host-signature; TPU entries
+    are keyed by chip type inside XLA already and stay shared.
+    """
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha1(platform.processor().encode()).hexdigest()[:12]
 
 
 def enable(cache_dir: str | None = None, min_compile_secs: float = 1.0) -> str:
@@ -36,6 +59,8 @@ def enable(cache_dir: str | None = None, min_compile_secs: float = 1.0) -> str:
         jax.config.update("jax_platforms", forced)
 
     path = cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR", _DEFAULT_DIR)
+    if (forced or "").startswith("cpu") or os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        path = os.path.join(path, f"cpu-{_host_signature()}")
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", min_compile_secs)
