@@ -68,38 +68,25 @@ def _try_lpips():
     return label, compute
 
 
-def main():
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--task", type=str, default="inpainting",
-                        help="inpainting or supr")
-    parser.add_argument("--dataset", type=str, default="mnist")
-    parser.add_argument("--size", type=int, default=15, help="rect size or SR rate")
-    parser.add_argument("--sde", type=str, default="lin")
-    parser.add_argument("--nparticles", type=int, default=100)
-    parser.add_argument("--method", type=str, default="gibbs-eb")
-    parser.add_argument("--ny0s", type=int, default=None,
-                        help="y0 count; default: every committed y0 id found on disk")
-    parser.add_argument("--results_dir", type=str, default=None,
-                        help="Artifact root (default: experiments/imgs/"
-                             "results_<task> next to this script)")
-    args = parser.parse_args()
+_TABLE_METHODS = ("gibbs-eb-ef", "gibbs-eb", "filter", "pmcmc-0.005", "twisted", "csgm")
+_TABLE_NPARTICLES = (10, 100)
 
-    lpips_label, lpips_fn = _try_lpips()
-    psnr_j = jax.jit(jax.vmap(psnr, in_axes=[None, 0]))
-    ssim_j = jax.jit(jax.vmap(ssim, in_axes=[None, 0]))
 
+def _cell(args, nparticles, method, psnr_j, ssim_j, lpips_fn):
+    """Gather one (method, N) table cell; returns None when no artifacts exist."""
     psnrs, ssims, lpipss = [], [], []
     base = args.results_dir or f"{_EXP}/imgs/results_{args.task}"
-    if args.ny0s is None:
-        pat = f"{base}/{args.dataset}-{args.size}-{args.sde}-{args.nparticles}-*-{args.method}.npy"
-        suffix = f"-{args.method}.npy"
+    ny0s = args.ny0s
+    if ny0s is None:
+        pat = f"{base}/{args.dataset}-{args.size}-{args.sde}-{nparticles}-*-{method}.npy"
+        suffix = f"-{method}.npy"
         ids = sorted(int(os.path.basename(p)[:-len(suffix)].split("-")[-1])
                      for p in glob.glob(pat))
-        args.ny0s = (max(ids) + 1) if ids else 0
-    for k in range(args.ny0s):
-        head = f"{base}/{args.dataset}-{args.size}-{args.sde}-{args.nparticles}-{k}"
+        ny0s = (max(ids) + 1) if ids else 0
+    for k in range(ny0s):
+        head = f"{base}/{args.dataset}-{args.size}-{args.sde}-{nparticles}-{k}"
         truth_file = head + "-true.npz"
-        sample_file = head + f"-{args.method}.npy"
+        sample_file = head + f"-{method}.npy"
         if not (os.path.exists(sample_file)):
             continue
         true_img = np.load(truth_file)["test_img"] if os.path.exists(truth_file) else None
@@ -118,20 +105,62 @@ def main():
         # LPIPS for the non-MNIST datasets only (BASELINE.md) — same here.
         if lpips_fn is not None and min(true_img.shape[:2]) >= 32:
             lpipss.extend(lpips_fn(true_img, s) for s in samples)
+    if not psnrs:
+        return None
+    return len(psnrs), np.concatenate(psnrs), np.concatenate(ssims), lpipss
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--task", type=str, default="inpainting",
+                        help="inpainting or supr")
+    parser.add_argument("--dataset", type=str, default="mnist")
+    parser.add_argument("--size", type=int, default=None,
+                        help="rect size or SR rate (default: 15 inpainting / 4 supr)")
+    parser.add_argument("--sde", type=str, default="lin")
+    parser.add_argument("--nparticles", type=str, default="all",
+                        help="particle count, or 'all' for the full table column set")
+    parser.add_argument("--method", type=str, default="all",
+                        help="method tag, or 'all' for every committed method row")
+    parser.add_argument("--ny0s", type=int, default=None,
+                        help="y0 count; default: every committed y0 id found on disk")
+    parser.add_argument("--results_dir", type=str, default=None,
+                        help="Artifact root (default: experiments/imgs/"
+                             "results_<task> next to this script)")
+    args = parser.parse_args()
+    if args.size is None:
+        args.size = 15 if args.task == "inpainting" else 4
+
+    lpips_label, lpips_fn = _try_lpips()
+    psnr_j = jax.jit(jax.vmap(psnr, in_axes=[None, 0]))
+    ssim_j = jax.jit(jax.vmap(ssim, in_axes=[None, 0]))
+
+    methods = _TABLE_METHODS if args.method == "all" else (args.method,)
+    particle_counts = (_TABLE_NPARTICLES if args.nparticles == "all"
+                       else (int(args.nparticles),))
+    printed = 0
+    for method in methods:
+        for nparticles in particle_counts:
+            out = _cell(args, nparticles, method, psnr_j, ssim_j, lpips_fn)
+            if out is None:
+                continue
+            ny0s, psnrs, ssims, lpipss = out
+            msg = (f"{args.dataset} {args.task}-{args.size} {method} N={nparticles} "
+                   f"({ny0s} y0s x {psnrs.size // ny0s} samples) | "
+                   f"PSNR {psnrs.mean():.3f} +- {psnrs.std():.3f} | "
+                   f"SSIM {ssims.mean():.4f} +- {ssims.std():.4f}")
+            if lpipss:
+                lp = np.asarray(lpipss)
+                msg += f" | {lpips_label} {lp.mean():.4f} +- {lp.std():.4f}"
+            else:
+                msg += (" | LPIPS skipped (resolution < 32; reference computes it "
+                        "for non-MNIST only)")
+            print(msg)
+            printed += 1
 
     from _common import fail_if_empty
-    fail_if_empty(len(psnrs), f"{args.task}-{args.size} {args.method} results under {base}")
-    psnrs = np.concatenate(psnrs)
-    ssims = np.concatenate(ssims)
-    msg = (f"{args.dataset} {args.task}-{args.size} {args.method} | "
-           f"PSNR {psnrs.mean():.3f} +- {psnrs.std():.3f} | "
-           f"SSIM {ssims.mean():.4f} +- {ssims.std():.4f}")
-    if lpipss:
-        lp = np.asarray(lpipss)
-        msg += f" | {lpips_label} {lp.mean():.4f} +- {lp.std():.4f}"
-    else:
-        msg += " | LPIPS skipped (resolution < 32; reference computes it for non-MNIST only)"
-    print(msg)
+    fail_if_empty(printed, f"{args.task}-{args.size} ({args.method}, N={args.nparticles}) "
+                           f"results under {args.results_dir or f'{_EXP}/imgs/results_{args.task}'}")
 
 
 if __name__ == "__main__":
