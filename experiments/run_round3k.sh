@@ -1,0 +1,145 @@
+#!/bin/bash
+# Round-3 queue, part 8 (r3k): successor to r3j, for the ~12 h the session
+# gained past r3j's 22:45 deadline.  Waits for r3j to exit (never two
+# processes on the tunnel), then runs the remaining chip work in judge
+# priority order (VERDICT r2 items 1, 5, 4):
+#   1. the remaining N=100 rows of Tables 2-3 (resume-aware: gibbs supr
+#      finishes wherever r3j's deadline cut it, then filter, then pmcmc)
+#   2. toy Table-1 twisted N=100 — the one deliberately unrun cell
+#      (~68 min measured)
+#   3. deepen the SB-IPF image model: warm-started IPF iterations until
+#      the deadline margin, then refresh the SB supr numbers
+#   4. tabulate everything (CPU, always runs)
+# Commits after every unit (commit_stage.sh).  DEADLINE leaves the chip
+# free ~2 h before round end for the driver's bench.py run.
+set -u
+cd "$(dirname "$0")"
+LOG=${LOG:-/tmp/r3k}
+OUT=../docs/measurements
+mkdir -p "$LOG" "$OUT"
+DEADLINE=${DEADLINE:-06:30}   # UTC, next day handled by the wrap logic
+
+# ---- wait for r3j to release the tunnel ----
+if [ -f /tmp/r3j.pid ]; then
+  P=$(head -1 /tmp/r3j.pid)
+  while kill -0 "$P" 2>/dev/null; do sleep 60; done
+fi
+echo "r3j gone; r3k starting at $(date -u +%H:%M:%S)"
+
+past_deadline() {
+  local now target
+  now=$(date -u +%s)
+  target=$(date -u -d "today $DEADLINE" +%s)
+  [ "$target" -lt $((now - 43200)) ] && target=$((target + 86400))
+  [ "$now" -ge "$target" ]
+}
+seconds_left() {
+  local now target
+  now=$(date -u +%s)
+  target=$(date -u -d "today $DEADLINE" +%s)
+  [ "$target" -lt $((now - 43200)) ] && target=$((target + 86400))
+  echo $((target - now))
+}
+budget() {
+  local cap=$1 left
+  left=$(seconds_left)
+  [ "$left" -lt 60 ] && left=60
+  [ "$left" -gt "$cap" ] && left=$cap
+  echo "$left"
+}
+stage() { echo "=== $(date -u +%H:%M:%S) $*"; }
+
+EPOCH=2999
+NY=100
+COMMON="--dataset=mnist --sde=lin --test_nsteps=1000 --test_epoch=$EPOCH \
+  --test_ema --test_seed=996 --bf16 --save_png_every=25"
+M100="--nparticles=100 --ny0s=$NY --nsamples=5 --y0s_per_dispatch=4 --sweeps_per_dispatch=1"
+
+done_count() {
+  local dir=$1 np=$2 size=$3 tag=$4 k=0
+  while [ -f "imgs/$dir/mnist-$size-lin-$np-$k-$tag.npy" ]; do k=$((k + 1)); done
+  echo "$k"
+}
+
+unit() {  # unit <cap> <dir> <np> <size> <tag> <msg> <cmd...>
+  local cap=$1 dir=$2 np=$3 size=$4 tag=$5 msg=$6; shift 6
+  if past_deadline; then stage "deadline $DEADLINE; skipping device unit: $msg"; return 0; fi
+  local done
+  done=$(done_count "$dir" "$np" "$size" "$tag")
+  if [ "$done" -ge "$NY" ]; then stage "complete ($done/$NY), skipping: $msg"; return 0; fi
+  stage "[resume from $done] $*"
+  timeout "$(budget "$cap")" python "$@" --start_from="$done" >> "$LOG/tables.log" 2>&1 \
+    || { echo "unit rc=$? (timeout or error): $msg"; tail -3 "$LOG/tables.log"; }
+  ./commit_stage.sh "$msg"
+}
+
+stage "1/4 remaining N=100 rows of Tables 2-3"
+unit 7200 results_supr       100 4  gibbs-eb-ef "Table 3 N=100 gibbs rows (r3k resume)" imgs/supr.py       $COMMON $M100 --rate=4       --method=gibbs-eb-ef
+unit 7200 results_inpainting 100 15 gibbs-eb-ef "Table 2 N=100 gibbs rows (r3k resume)" imgs/inpainting.py $COMMON $M100 --rect_size=15 --method=gibbs-eb-ef
+unit 7200 results_inpainting 100 15 filter      "Table 2 N=100 filter rows"             imgs/inpainting.py $COMMON $M100 --rect_size=15 --method=filter
+unit 7200 results_supr       100 4  filter      "Table 3 N=100 filter rows"             imgs/supr.py       $COMMON $M100 --rate=4       --method=filter
+unit 7200 results_inpainting 100 15 pmcmc-0.005 "Table 2 N=100 pMCMC rows"              imgs/inpainting.py $COMMON $M100 --rect_size=15 --method=pmcmc-0.005
+unit 7200 results_supr       100 4  pmcmc-0.005 "Table 3 N=100 pMCMC rows"              imgs/supr.py       $COMMON $M100 --rate=4       --method=pmcmc-0.005
+
+stage "2/4 toy Table 1: the twisted N=100 cell (~68 min measured)"
+if ! past_deadline && [ "$(seconds_left)" -gt 5400 ]; then
+  timeout "$(budget 6000)" python toy/gp_production.py --d 100 --nparticles 100 \
+    --nsamples 10000 --nmc 100 --sde const --methods twisted \
+    --skip_existing > "$LOG/toy_twisted100.log" 2>&1 \
+    || { echo "twisted-100 rc=$?"; tail -3 "$LOG/toy_twisted100.log"; }
+  python compact_results.py --roots toy/results
+  ./commit_stage.sh "Toy Table 1: twisted N=100 cell (100 MC reps) - table complete"
+else
+  stage "deadline margin too small for twisted N=100; skipping"
+fi
+
+stage "3/4 deepen the SB-IPF image model"
+latest_sb() {
+  ls checkpoints/sb_mnist_lin_*.npz 2>/dev/null | grep -v _bwd \
+    | sed 's/.*_\([0-9]*\)\.npz/\1/' | sort -n | tail -1
+}
+while :; do
+  LEFT=$(seconds_left)
+  [ "$LEFT" -lt 4500 ] && { stage "only ${LEFT}s left; no more SB iterations"; break; }
+  CUR=$(latest_sb)
+  [ -z "$CUR" ] && { stage "no SB checkpoint to warm-start from"; break; }
+  NEXT=$((CUR + 1))
+  stage "SB-IPF iteration $NEXT (warm start from $CUR)"
+  timeout "$(budget 3600)" \
+    python sb_imgs/train.py --dataset mnist --sde lin --T 0.5 \
+    --batch_size 64 --nsteps 32 --nepochs 2 --nsbs $((NEXT + 1)) \
+    --start_sb "$NEXT" --schedule cos --grad_clip --vmap_loss --bf16 \
+    > "$LOG/sb_train_$NEXT.log" 2>&1
+  rc=$?
+  tail -2 "$LOG/sb_train_$NEXT.log" || true
+  if [ -f "checkpoints/sb_mnist_lin_${NEXT}.npz" ]; then
+    ./commit_stage.sh "Deepen the SB-IPF image model: IPF iteration $NEXT (r3k)" \
+      "checkpoints/sb_mnist_lin_${NEXT}.npz" "checkpoints/sb_mnist_lin_${NEXT}_bwd.npz"
+  else
+    stage "iteration $NEXT did not produce a checkpoint (rc=$rc); stopping"
+    break
+  fi
+done
+
+SBCKPT=$(latest_sb)
+if [ -n "${SBCKPT:-}" ] && [ "$SBCKPT" -gt 0 ] && [ "$(seconds_left)" -gt 1800 ]; then
+  stage "SB supr refresh from iteration $SBCKPT"
+  for Y0 in 10 11; do
+    [ "$(seconds_left)" -lt 900 ] && break
+    timeout "$(budget 1800)" python sb_imgs/supr.py --sde lin --sb_step "$SBCKPT" \
+      --rate 4 --test_nsteps 64 --nparticles 100 --y0_id "$Y0" --nsamples 20 \
+      --method gibbs --bf16 > "$LOG/sb_supr_gibbs_$Y0.log" 2>&1 || true
+    timeout "$(budget 1800)" python sb_imgs/supr.py --sde lin --sb_step "$SBCKPT" \
+      --rate 4 --test_nsteps 64 --nparticles 100 --y0_id "$Y0" --nsamples 20 \
+      --method filter --bf16 > "$LOG/sb_supr_filter_$Y0.log" 2>&1 || true
+  done
+  ./commit_stage.sh "SB super-resolution from the deepened SB model (IPF iter $SBCKPT, r3k)"
+fi
+
+stage "4/4 tabulating on CPU (always runs)"
+FBS_PLATFORM=cpu JAX_PLATFORMS=cpu python tabulators/tabulate_imgs.py \
+  > "$OUT/tables23_r3.txt" 2>&1 || true
+tail -40 "$OUT/tables23_r3.txt" || true
+./commit_stage.sh "r3k final tabulation"
+stage "r3k done"
+touch "$LOG/DONE"
