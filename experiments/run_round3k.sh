@@ -3,13 +3,17 @@
 # gained past r3j's 22:45 deadline.  Waits for r3j to exit (never two
 # processes on the tunnel), then runs the remaining chip work in judge
 # priority order (VERDICT r2 items 1, 5, 4):
-#   1. the remaining N=100 rows of Tables 2-3 (resume-aware: gibbs supr
-#      finishes wherever r3j's deadline cut it, then filter, then pmcmc)
-#   2. toy Table-1 twisted N=100 — the one deliberately unrun cell
-#      (~68 min measured)
-#   3. deepen the SB-IPF image model: warm-started IPF iterations until
-#      the deadline margin, then refresh the SB supr numbers
-#   4. tabulate everything (CPU, always runs)
+#   1. pMCMC N=10 rows of Tables 2-3 — r3j's units crashed the TPU worker:
+#      a 20-y0 x 2-sweep pMCMC dispatch exceeds the tunnel's ~40 s kill
+#      window (pMCMC keeps the full (K+1, N, du) particle history for the
+#      path draw, unlike the terminal-pass Gibbs sweep), so these rerun at
+#      4 y0s x 1 sweep per dispatch.
+#   2. finish the twisted N=10 supr rows (r3j timed out at 63/100).
+#   3. toy Table-1 twisted N=100 — the one unrun cell (~68 min measured).
+#   4. the N=100 rows of Tables 2-3 (resume-aware: gibbs wherever r3j's
+#      deadline cut it, then filter, then pMCMC at 2 y0s/dispatch).
+#   5. deepen the SB-IPF image model if time remains.
+#   6. tabulate everything (CPU, always runs).
 # Commits after every unit (commit_stage.sh).  DEADLINE leaves the chip
 # free ~2 h before round end for the driver's bench.py run.
 set -u
@@ -53,7 +57,12 @@ EPOCH=2999
 NY=100
 COMMON="--dataset=mnist --sde=lin --test_nsteps=1000 --test_epoch=$EPOCH \
   --test_ema --test_seed=996 --bf16 --save_png_every=25"
+# pMCMC at N=10: 4 y0s x 1 sweep/dispatch (see header).
+P10="--nparticles=10 --ny0s=$NY --nsamples=20 --y0s_per_dispatch=4 --sweeps_per_dispatch=1"
+B10="--nparticles=10 --ny0s=$NY --nsamples=20 --samples_per_dispatch=10"
 M100="--nparticles=100 --ny0s=$NY --nsamples=5 --y0s_per_dispatch=4 --sweeps_per_dispatch=1"
+# pMCMC at N=100: halve the y0 fan-in again (10x the particle work of P10).
+P100="--nparticles=100 --ny0s=$NY --nsamples=5 --y0s_per_dispatch=2 --sweeps_per_dispatch=1"
 
 done_count() {
   local dir=$1 np=$2 size=$3 tag=$4 k=0
@@ -73,15 +82,14 @@ unit() {  # unit <cap> <dir> <np> <size> <tag> <msg> <cmd...>
   ./commit_stage.sh "$msg"
 }
 
-stage "1/4 remaining N=100 rows of Tables 2-3"
-unit 7200 results_supr       100 4  gibbs-eb-ef "Table 3 N=100 gibbs rows (r3k resume)" imgs/supr.py       $COMMON $M100 --rate=4       --method=gibbs-eb-ef
-unit 7200 results_inpainting 100 15 gibbs-eb-ef "Table 2 N=100 gibbs rows (r3k resume)" imgs/inpainting.py $COMMON $M100 --rect_size=15 --method=gibbs-eb-ef
-unit 7200 results_inpainting 100 15 filter      "Table 2 N=100 filter rows"             imgs/inpainting.py $COMMON $M100 --rect_size=15 --method=filter
-unit 7200 results_supr       100 4  filter      "Table 3 N=100 filter rows"             imgs/supr.py       $COMMON $M100 --rate=4       --method=filter
-unit 7200 results_inpainting 100 15 pmcmc-0.005 "Table 2 N=100 pMCMC rows"              imgs/inpainting.py $COMMON $M100 --rect_size=15 --method=pmcmc-0.005
-unit 7200 results_supr       100 4  pmcmc-0.005 "Table 3 N=100 pMCMC rows"              imgs/supr.py       $COMMON $M100 --rate=4       --method=pmcmc-0.005
+stage "1/6 pMCMC N=10 rows (rerun at tunnel-safe dispatch geometry)"
+unit 5400 results_inpainting 10 15 pmcmc-0.005 "Table 2 N=10 pMCMC rows (4x1 dispatches)" imgs/inpainting.py $COMMON $P10 --rect_size=15 --method=pmcmc-0.005
+unit 5400 results_supr       10 4  pmcmc-0.005 "Table 3 N=10 pMCMC rows (4x1 dispatches)" imgs/supr.py       $COMMON $P10 --rate=4       --method=pmcmc-0.005
 
-stage "2/4 toy Table 1: the twisted N=100 cell (~68 min measured)"
+stage "2/6 finish the twisted N=10 supr rows (resume from r3j's 63/100)"
+unit 4500 results_supr       10 4  twisted     "Table 3 N=10 twisted rows (r3k resume)"   imgs/supr_twisted.py $COMMON $B10 --rate=4
+
+stage "3/6 toy Table 1: the twisted N=100 cell (~68 min measured)"
 if ! past_deadline && [ "$(seconds_left)" -gt 5400 ]; then
   timeout "$(budget 6000)" python toy/gp_production.py --d 100 --nparticles 100 \
     --nsamples 10000 --nmc 100 --sde const --methods twisted \
@@ -93,7 +101,15 @@ else
   stage "deadline margin too small for twisted N=100; skipping"
 fi
 
-stage "3/4 deepen the SB-IPF image model"
+stage "4/6 N=100 rows of Tables 2-3"
+unit 7200 results_supr       100 4  gibbs-eb-ef "Table 3 N=100 gibbs rows (r3k resume)" imgs/supr.py       $COMMON $M100 --rate=4       --method=gibbs-eb-ef
+unit 7200 results_inpainting 100 15 gibbs-eb-ef "Table 2 N=100 gibbs rows (r3k resume)" imgs/inpainting.py $COMMON $M100 --rect_size=15 --method=gibbs-eb-ef
+unit 7200 results_inpainting 100 15 filter      "Table 2 N=100 filter rows"             imgs/inpainting.py $COMMON $M100 --rect_size=15 --method=filter
+unit 7200 results_supr       100 4  filter      "Table 3 N=100 filter rows"             imgs/supr.py       $COMMON $M100 --rate=4       --method=filter
+unit 7200 results_inpainting 100 15 pmcmc-0.005 "Table 2 N=100 pMCMC rows"              imgs/inpainting.py $COMMON $P100 --rect_size=15 --method=pmcmc-0.005
+unit 7200 results_supr       100 4  pmcmc-0.005 "Table 3 N=100 pMCMC rows"              imgs/supr.py       $COMMON $P100 --rate=4       --method=pmcmc-0.005
+
+stage "5/6 deepen the SB-IPF image model (only if time remains)"
 latest_sb() {
   ls checkpoints/sb_mnist_lin_*.npz 2>/dev/null | grep -v _bwd \
     | sed 's/.*_\([0-9]*\)\.npz/\1/' | sort -n | tail -1
@@ -136,7 +152,7 @@ if [ -n "${SBCKPT:-}" ] && [ "$SBCKPT" -gt 0 ] && [ "$(seconds_left)" -gt 1800 ]
   ./commit_stage.sh "SB super-resolution from the deepened SB model (IPF iter $SBCKPT, r3k)"
 fi
 
-stage "4/4 tabulating on CPU (always runs)"
+stage "6/6 tabulating on CPU (always runs)"
 FBS_PLATFORM=cpu JAX_PLATFORMS=cpu python tabulators/tabulate_imgs.py \
   > "$OUT/tables23_r3.txt" 2>&1 || true
 tail -40 "$OUT/tables23_r3.txt" || true

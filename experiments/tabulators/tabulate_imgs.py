@@ -112,8 +112,8 @@ def _cell(args, nparticles, method, psnr_j, ssim_j, lpips_fn):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--task", type=str, default="inpainting",
-                        help="inpainting or supr")
+    parser.add_argument("--task", type=str, default="all",
+                        help="inpainting, supr, or 'all' for both tables")
     parser.add_argument("--dataset", type=str, default="mnist")
     parser.add_argument("--size", type=int, default=None,
                         help="rect size or SR rate (default: 15 inpainting / 4 supr)")
@@ -128,9 +128,6 @@ def main():
                         help="Artifact root (default: experiments/imgs/"
                              "results_<task> next to this script)")
     args = parser.parse_args()
-    if args.size is None:
-        args.size = 15 if args.task == "inpainting" else 4
-
     lpips_label, lpips_fn = _try_lpips()
     psnr_j = jax.jit(jax.vmap(psnr, in_axes=[None, 0]))
     ssim_j = jax.jit(jax.vmap(ssim, in_axes=[None, 0]))
@@ -138,29 +135,35 @@ def main():
     methods = _TABLE_METHODS if args.method == "all" else (args.method,)
     particle_counts = (_TABLE_NPARTICLES if args.nparticles == "all"
                        else (int(args.nparticles),))
+    tasks = ("inpainting", "supr") if args.task == "all" else (args.task,)
+    user_size = args.size
     printed = 0
-    for method in methods:
-        for nparticles in particle_counts:
-            out = _cell(args, nparticles, method, psnr_j, ssim_j, lpips_fn)
-            if out is None:
-                continue
-            ny0s, psnrs, ssims, lpipss = out
-            msg = (f"{args.dataset} {args.task}-{args.size} {method} N={nparticles} "
-                   f"({ny0s} y0s x {psnrs.size // ny0s} samples) | "
-                   f"PSNR {psnrs.mean():.3f} +- {psnrs.std():.3f} | "
-                   f"SSIM {ssims.mean():.4f} +- {ssims.std():.4f}")
-            if lpipss:
-                lp = np.asarray(lpipss)
-                msg += f" | {lpips_label} {lp.mean():.4f} +- {lp.std():.4f}"
-            else:
-                msg += (" | LPIPS skipped (resolution < 32; reference computes it "
-                        "for non-MNIST only)")
-            print(msg)
-            printed += 1
+    for task in tasks:
+        args.task = task
+        args.size = user_size if user_size is not None else (
+            15 if task == "inpainting" else 4)
+        for method in methods:
+            for nparticles in particle_counts:
+                out = _cell(args, nparticles, method, psnr_j, ssim_j, lpips_fn)
+                if out is None:
+                    continue
+                ny0s, psnrs, ssims, lpipss = out
+                msg = (f"{args.dataset} {args.task}-{args.size} {method} N={nparticles} "
+                       f"({ny0s} y0s x {psnrs.size // ny0s} samples) | "
+                       f"PSNR {psnrs.mean():.3f} +- {psnrs.std():.3f} | "
+                       f"SSIM {ssims.mean():.4f} +- {ssims.std():.4f}")
+                if lpipss:
+                    lp = np.asarray(lpipss)
+                    msg += f" | {lpips_label} {lp.mean():.4f} +- {lp.std():.4f}"
+                else:
+                    msg += (" | LPIPS skipped (resolution < 32; reference computes "
+                            "it for non-MNIST only)")
+                print(msg)
+                printed += 1
 
     from _common import fail_if_empty
-    fail_if_empty(printed, f"{args.task}-{args.size} ({args.method}, N={args.nparticles}) "
-                           f"results under {args.results_dir or f'{_EXP}/imgs/results_{args.task}'}")
+    fail_if_empty(printed, f"{'/'.join(tasks)} ({args.method}, N={args.nparticles}) "
+                           f"results under {args.results_dir or f'{_EXP}/imgs'}")
 
 
 if __name__ == "__main__":
