@@ -89,6 +89,21 @@ unit 5400 results_supr       10 4  pmcmc-0.005 "Table 3 N=10 pMCMC rows (4x1 dis
 stage "2/6 finish the twisted N=10 supr rows (resume from r3j's 63/100)"
 unit 4500 results_supr       10 4  twisted     "Table 3 N=10 twisted rows (r3k resume)"   imgs/supr_twisted.py $COMMON $B10 --rate=4
 
+stage "2b/6 top up the 3-sample inpainting filter stacks (y0s 0-19) to 20 samples"
+SHORT=$(python -c "
+import numpy as np, glob
+print(sum(np.load(p).shape[0] < 20
+          for p in glob.glob('imgs/results_inpainting/mnist-15-lin-10-*-filter.npy')))")
+if ! past_deadline && [ "$SHORT" -gt 0 ]; then
+  stage "regenerating $SHORT short filter stacks at full nsamples=20"
+  timeout "$(budget 2400)" python imgs/inpainting.py $COMMON \
+    --nparticles=10 --ny0s=20 --nsamples=20 --y0s_per_dispatch=20 \
+    --sweeps_per_dispatch=2 --rect_size=15 --method=filter --start_from=0 \
+    >> "$LOG/tables.log" 2>&1 \
+    || { echo "filter top-up rc=$?"; tail -3 "$LOG/tables.log"; }
+  ./commit_stage.sh "Table 2 N=10 filter rows: top up y0s 0-19 to 20 samples"
+fi
+
 stage "3/6 toy Table 1: the twisted N=100 cell (~68 min measured)"
 if ! past_deadline && [ "$(seconds_left)" -gt 5400 ]; then
   timeout "$(budget 6000)" python toy/gp_production.py --d 100 --nparticles 100 \
