@@ -28,10 +28,10 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-try:  # jax >= 0.4.30 moved shard_map
-    from jax.experimental.shard_map import shard_map
+try:  # jax >= 0.8 promotes shard_map out of experimental
+    from jax import shard_map
 except ImportError:  # pragma: no cover
-    from jax.sharding import shard_map
+    from jax.experimental.shard_map import shard_map
 
 __all__ = ["ring_take", "make_ring_take"]
 
