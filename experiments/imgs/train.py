@@ -40,6 +40,8 @@ def main():
                         help="Warm-start from a (param, ema_param) npz checkpoint.")
     parser.add_argument("--start_epoch", type=int, default=0,
                         help="Epoch to resume from (offsets the LR schedule).")
+    parser.add_argument("--checkpoint_every", type=int, default=100,
+                        help="Save a (param, ema_param) npz every this many epochs.")
     args = parser.parse_args()
 
     from fbs_tpu.applications import train_score_model
@@ -82,7 +84,7 @@ def main():
         subkey, dataset, loss_fn, init_param,
         batch_size=args.batch_size, nepochs=args.nepochs,
         lr=args.lr, schedule=args.schedule, grad_clip=args.grad_clip,
-        mesh=mesh, checkpoint_every=100,
+        mesh=mesh, checkpoint_every=args.checkpoint_every,
         checkpoint_path="./checkpoints/" + args.dataset + "_" + args.sde + "_{epoch}.npz",
         init_ema_param=init_ema_param, start_epoch=args.start_epoch)
 
