@@ -125,3 +125,71 @@ def test_image_corruptions_run():
         assert x.shape == (16, 16, 1)
         assert y.shape == (16, 16, 1)
         assert bool(jnp.all(jnp.isfinite(y)))
+
+
+def test_paint_zeros_one_grid_aligned_square():
+    """The occlusion is exactly one rectangle^2 block at a (b+1)x(b+1)
+    grid-aligned anchor (the reference observation model, images.py:60-79)."""
+    from fbs_tpu.data.images import Image
+
+    class Tiny(Image):
+        def __init__(self):
+            self.task = "inpaint-5"
+            self.image_shape = (16, 16, 2)
+
+    ds = Tiny()
+    img = jnp.ones((16, 16, 2))
+    anchors = [int((16 - 5) / 3 * i) for i in range(4)]
+    seen = set()
+    for s in range(24):
+        out = np.asarray(ds.paint(jax.random.PRNGKey(s), img, rectangle_size=5))
+        zero_rows, zero_cols = np.where(out[..., 0] == 0.0)
+        assert zero_rows.size == 25  # exactly one 5x5 square, all channels
+        npt.assert_array_equal(out[..., 0], out[..., 1])
+        top, left = zero_rows.min(), zero_cols.min()
+        assert top in anchors and left in anchors
+        assert zero_rows.max() == top + 4 and zero_cols.max() == left + 4
+        npt.assert_array_equal(np.unique(out), np.array([0.0, 1.0]))
+        seen.add((int(top), int(left)))
+    assert len(seen) > 4  # the anchor really is random
+
+
+def test_blur_kernel_is_separable_gaussian():
+    """Blurring a unit impulse yields (up to the norm-normalisation) a
+    rank-1 separable Gaussian with variance in the reference's U[0.1, 5)."""
+    from fbs_tpu.data.images import Image
+
+    class Tiny(Image):
+        def __init__(self):
+            self.task = "deconv-7"
+            self.image_shape = (21, 21, 1)
+
+    ds = Tiny()
+    impulse = jnp.zeros((21, 21, 1)).at[10, 10, 0].set(1.0)
+    out = np.asarray(ds.conv(jax.random.PRNGKey(3), impulse, kernel_size=7))[..., 0]
+    patch = out[7:14, 7:14]
+    # separable: the patch is an outer product -> rank 1
+    s = np.linalg.svd(patch, compute_uv=False)
+    assert s[1] < 1e-5 * s[0]
+    # symmetric and peaked at the centre
+    npt.assert_allclose(patch, patch.T, rtol=1e-6)
+    assert patch[3, 3] == patch.max() > 0
+
+
+def test_downsample_is_block_constant():
+    from fbs_tpu.data.images import Image
+
+    class Tiny(Image):
+        def __init__(self):
+            self.task = "supr"
+            self.image_shape = (16, 16, 1)
+
+    ds = Tiny()
+    img = jax.random.uniform(jax.random.PRNGKey(0), (16, 16, 1))
+    for s in range(8):
+        out = np.asarray(ds.downsample(jax.random.PRNGKey(s), img))[..., 0]
+        blocks4 = out.reshape(4, 4, 4, 4)
+        ok4 = np.all(blocks4 == blocks4[:, :1, :, :1])
+        blocks8 = out.reshape(2, 8, 2, 8)
+        ok8 = np.all(blocks8 == blocks8[:, :1, :, :1])
+        assert ok4 or ok8  # ratio is one of {4, 8}
