@@ -4,4 +4,4 @@ from fbs_tpu.parallel.sharded import (
     shard_fused_kernel,
     data_parallel_loss,
 )
-from fbs_tpu.parallel.resampling import make_ring_take, ring_take
+from fbs_tpu.parallel.resampling import make_ring_take, onehot_gather, ring_take

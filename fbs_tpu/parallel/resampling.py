@@ -33,7 +33,26 @@ try:  # jax >= 0.8 promotes shard_map out of experimental
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
-__all__ = ["ring_take", "make_ring_take"]
+__all__ = ["ring_take", "make_ring_take", "onehot_gather"]
+
+
+def onehot_gather(xs: jax.Array, i) -> jax.Array:
+    """``xs[i]`` for a traced scalar ``i``, as a one-hot contraction.
+
+    On a particle-sharded leading axis a dynamic single-row gather would make
+    GSPMD materialise (all-gather) the full ``(N, *d)`` payload on every chip.
+    The contraction instead reduces each shard's local block against its slice
+    of the one-hot vector and combines shards with a psum of ONE row — O(d)
+    traffic instead of O(N d).  This is the backward-pass analogue of
+    :func:`make_ring_take` (which serves the length-N index vectors of the
+    forward resampling steps).
+
+    Every output element is ``1 * x`` summed with exact zeros, so values are
+    exact copies — with the one caveat that a negative-zero entry returns as
+    ``+0.0``.
+    """
+    oh = (jnp.arange(xs.shape[0]) == i).astype(xs.dtype)
+    return jnp.tensordot(oh, xs, axes=([0], [0]))
 
 
 def _ring_take_local(us_local, idx, axis_name: str):

@@ -50,6 +50,7 @@ def csmc_kernel(key: JKey,
                 fused_kernel: Optional[Callable] = None,
                 history_dtype=None,
                 take_fn: Optional[Callable] = None,
+                gather_fn: Optional[Callable] = None,
                 **kwargs) -> Tuple[JArray, JArray]:
     r"""One cSMC sweep updating the reference trajectory ``us_star`` with
     ancestor indices ``bs_star`` (reference ``csmc.py:14-77``).
@@ -58,6 +59,13 @@ def csmc_kernel(key: JKey,
     ``bs_star[k]`` each step), then either the backward-sampling pass
     (``backward=True``; FFBS reweighting by ``transition_logpdf``) or the
     ancestor-tracing backward-scanning pass.
+
+    ``take_fn`` / ``gather_fn`` are the particle-sharded payload-move hooks:
+    ``take_fn`` (e.g. :func:`fbs_tpu.parallel.make_ring_take`) serves the
+    forward resampling's length-N index vectors, ``gather_fn`` (e.g.
+    :func:`fbs_tpu.parallel.onehot_gather`) the backward passes' dynamic
+    single-row selections from the stored (K+1, N+1, du) history — without it
+    GSPMD all-gathers a history slice per backward step.
     """
     key_fwd, key_bwd = jax.random.split(key, 2)
 
@@ -73,9 +81,10 @@ def csmc_kernel(key: JKey,
                                    **kwargs)
     if backward:
         us_star, bs_star = backward_sampling_pass(key_bwd, transition_logpdf, vs, ts, uss, log_ws,
-                                                  **kwargs)
+                                                  gather_fn=gather_fn, **kwargs)
     else:
-        us_star, bs_star = backward_scanning_pass(key_bwd, As, uss, log_ws[-1])
+        us_star, bs_star = backward_scanning_pass(key_bwd, As, uss, log_ws[-1],
+                                                  gather_fn=gather_fn)
     return us_star, bs_star
 
 
@@ -209,16 +218,24 @@ def forward_pass_terminal(key: JKey,
 def backward_sampling_pass(key: JKey, transition_logpdf: Callable,
                            vs: JArray, ts: JArray,
                            uss: JArray, log_ws: JArray,
-                           *args, **kwargs) -> Tuple[JArray, JArray]:
+                           *args, gather_fn: Optional[Callable] = None,
+                           **kwargs) -> Tuple[JArray, JArray]:
     """FFBS backward-sampling pass: Barker-select the terminal index, then
     scan backwards reweighting by ``transition_logpdf``
-    (reference ``csmc.py:167-227``)."""
+    (reference ``csmc.py:167-227``).
+
+    ``gather_fn(xs, i) -> xs[i]`` overrides the per-step single-row selection
+    from the particle history — pass :func:`fbs_tpu.parallel.onehot_gather`
+    when the history's particle axis is sharded, so each step moves one row
+    over the mesh instead of all-gathering the (N+1, du) slice.
+    """
+    gather = gather_fn if gather_fn is not None else lambda xs, i: xs[i]
     K_plus_one = uss.shape[0]
     keys = jax.random.split(key, K_plus_one)
 
     W_T = normalise(log_ws[-1])
     B_T = barker_move(keys[-1], W_T)
-    x_T = uss[-1, B_T].astype(log_ws.dtype)  # upcast bf16 history if used
+    x_T = gather(uss[-1], B_T).astype(log_ws.dtype)  # upcast bf16 history if used
 
     def body(x_t, inp):
         op_key, xs_t_m_1, log_w_t_m_1, v_t_m_1, t_m_1 = inp
@@ -227,7 +244,7 @@ def backward_sampling_pass(key: JKey, transition_logpdf: Callable,
         Gamma_log_w -= jnp.max(Gamma_log_w)
         w = normalise(Gamma_log_w + log_w_t_m_1)
         B_t_m_1 = jax.random.choice(op_key, w.shape[0], p=w, shape=())
-        x_t_m_1 = xs_t_m_1[B_t_m_1]
+        x_t_m_1 = gather(xs_t_m_1, B_t_m_1)
         return x_t_m_1, (x_t_m_1, B_t_m_1)
 
     inps = (keys[:-1], uss[-2::-1], log_ws[-2::-1], vs[-2::-1], ts[-2::-1])
@@ -239,16 +256,20 @@ def backward_sampling_pass(key: JKey, transition_logpdf: Callable,
 
 
 def backward_scanning_pass(key: JKey, As: JArray, xss: JArray,
-                           log_w_T: JArray) -> Tuple[JArray, JArray]:
+                           log_w_T: JArray,
+                           gather_fn: Optional[Callable] = None) -> Tuple[JArray, JArray]:
     """Ancestor-tracing backward pass: follow the stored genealogy, no density
-    evaluations (reference ``csmc.py:230-270``)."""
+    evaluations (reference ``csmc.py:230-270``).  ``gather_fn`` as in
+    :func:`backward_sampling_pass` (the ancestor-index gathers are length-N
+    integer rows and stay plain)."""
+    gather = gather_fn if gather_fn is not None else lambda xs, i: xs[i]
     B_T = barker_move(key, normalise(log_w_T))
-    x_T = xss[-1, B_T].astype(log_w_T.dtype)  # upcast bf16 history if used
+    x_T = gather(xss[-1], B_T).astype(log_w_T.dtype)  # upcast bf16 history if used
 
     def body(B_t, inp):
         xs_t_m_1, A_t = inp
         B_t_m_1 = A_t[B_t]
-        x_t_m_1 = xs_t_m_1[B_t_m_1].astype(log_w_T.dtype)
+        x_t_m_1 = gather(xs_t_m_1, B_t_m_1).astype(log_w_T.dtype)
         return B_t_m_1, (x_t_m_1, B_t_m_1)
 
     _, (xs, Bs) = jax.lax.scan(body, B_T, (xss[-2::-1], As[::-1]))

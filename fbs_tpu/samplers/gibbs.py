@@ -110,14 +110,17 @@ def gibbs_kernel(key: JKey, x0: JArray, y0: JArray, us_star: JArray, bs_star: JA
                  cond_resampling: Callable = killing,
                  fused_kernel: Optional[Callable] = None,
                  take_fn: Optional[Callable] = None,
+                 gather_fn: Optional[Callable] = None,
                  **kwargs) -> Tuple[JArray, JArray, JArray, JArray]:
     """One sweep of the forward-backward Gibbs sampler
     (reference ``gibbs.py:68-168``).
 
     Parameters mirror the reference; additionally ``cond_resampling`` is
-    pluggable (the reference hard-codes killing) and ``fused_kernel``
-    optionally replaces the separate transition/likelihood closures with one
-    shared score evaluation per step.
+    pluggable (the reference hard-codes killing), ``fused_kernel`` optionally
+    replaces the separate transition/likelihood closures with one shared
+    score evaluation per step, and ``take_fn`` / ``gather_fn`` are the
+    particle-sharded payload-move hooks (ring permute for the resampling
+    index vectors, one-hot contraction for single-row selections).
 
     Returns ``(x0_next, us_star_next, bs_star_next, acc_flags)``.
     """
@@ -150,7 +153,7 @@ def gibbs_kernel(key: JKey, x0: JArray, y0: JArray, us_star: JArray, bs_star: JA
                                                take_fn=take_fn,
                                                **kwargs)
         idx, _ = force_move(key_csmc_x0, jnp.exp(log_ws_T), bs_star[-1])
-        x0 = us_T[idx]
+        x0 = us_T[idx] if gather_fn is None else gather_fn(us_T, idx)
         us_star_next = unpack(fwd_sampler(key_csmc_bwd_us, x0, y0, **kwargs), **kwargs)[0][::-1]
         bs_star_next = jax.random.randint(key_csmc_bwd_bs, (us.shape[0],), minval=0, maxval=nparticles)
     else:
@@ -164,6 +167,7 @@ def gibbs_kernel(key: JKey, x0: JArray, y0: JArray, us_star: JArray, bs_star: JA
                                                  backward=False,
                                                  fused_kernel=fused_kernel,
                                                  take_fn=take_fn,
+                                                 gather_fn=gather_fn,
                                                  **kwargs)
     x0_next = us_star_next[-1]
     return x0_next, us_star_next, bs_star_next, bs_star_next != bs_star

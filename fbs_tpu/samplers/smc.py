@@ -156,10 +156,17 @@ def pmcmc_filter_step(key: JKey, vs_bridge: JArray, u0s: JArray, ts: JArray,
                       transition_sampler: Callable[[JArray, JArray, FloatScalar, JKey], JArray],
                       likelihood_logpdf: Callable[[JArray, JArray, JArray, FloatScalar], JArray],
                       resampling: Callable,
-                      nparticles: int, **kwargs) -> Tuple[JArray, JFloat]:
+                      nparticles: int,
+                      take_fn: Optional[Callable] = None,
+                      **kwargs) -> Tuple[JArray, JFloat]:
     """Inner particle filter of the pMCMC kernel (weight -> resample ->
     propagate order; reference ``fbs/samplers/smc.py:115-158``).  Returns the
-    terminal particles and the log marginal-likelihood estimate."""
+    terminal particles and the log marginal-likelihood estimate.
+
+    ``take_fn`` as in :func:`bootstrap_filter`: overrides the resampling
+    payload gather (pass :func:`fbs_tpu.parallel.make_ring_take` on a
+    particle-sharded mesh axis)."""
+    take = take_fn if take_fn is not None else lambda us, A: jnp.take(us, A, axis=0)
 
     def scan_body(carry, elem):
         us_prev, log_ell = carry
@@ -171,7 +178,7 @@ def pmcmc_filter_step(key: JKey, vs_bridge: JArray, u0s: JArray, ts: JArray,
         log_ell = log_ell - math.log(nparticles) + _c
         log_ws = log_ws - _c
         inds = resampling(jnp.exp(log_ws), key_resampling)
-        us_prev = jnp.take(us_prev, inds, axis=0)
+        us_prev = take(us_prev, inds)
         us = transition_sampler(us_prev, v_prev, t_prev, key_proposal, **kwargs)
 
         return (us, log_ell), None
@@ -205,13 +212,16 @@ def pmcmc_kernel(key: JKey,
                  nparticles: int,
                  delta: float = None,
                  which_u: int = 0,
+                 take_fn: Optional[Callable] = None,
                  **kwargs) -> Tuple[JArray, JFloat, JArray, MCMCState]:
     r"""Particle pseudo-marginal MCMC kernel targeting ``p(uT | vT = y0)``
     (reference ``fbs/samplers/smc.py:171-258``).
 
     Proposes a fresh y-path (or a pCN perturbation when ``delta`` is given),
     reverses it, runs the inner particle filter for a marginal-likelihood
-    estimate, and Metropolis-accepts on the likelihood ratio.
+    estimate, and Metropolis-accepts on the likelihood ratio.  ``take_fn`` is
+    forwarded to the inner filter's resampling payload move (ring permute on
+    a particle-sharded mesh axis).
     """
     key_prop, key_u0, key_filter, key_mh = jax.random.split(key, num=4)
 
@@ -226,7 +236,8 @@ def pmcmc_kernel(key: JKey,
     u0s = ref_sampler(key_u0, vs[0], nparticles)
     prop_uTs, prop_log_ell = pmcmc_filter_step(key_filter, vs, u0s, ts,
                                                transition_sampler, likelihood_logpdf,
-                                               resampling, nparticles, **kwargs)
+                                               resampling, nparticles,
+                                               take_fn=take_fn, **kwargs)
     prop_uT = prop_uTs[which_u]
 
     log_acc_prob = jnp.minimum(0., prop_log_ell - log_ell)
@@ -250,9 +261,14 @@ def twisted_smc(key: JKey, y: JArray, ts: JArray,
                 twisting_prop_sampler: Callable,
                 twisting_prop_logpdf: Callable,
                 resampling: Callable,
-                nparticles: int, **kwargs) -> Tuple[JArray, JArray]:
+                nparticles: int,
+                take_fn: Optional[Callable] = None,
+                **kwargs) -> Tuple[JArray, JArray]:
     """Twisted diffusion sampler baseline (Algorithm 1 of arXiv 2306.17775;
-    reference ``fbs/samplers/smc.py:261-309``)."""
+    reference ``fbs/samplers/smc.py:261-309``).  ``take_fn`` as in
+    :func:`bootstrap_filter` (applied to the particle payload; the length-N
+    log-twist vector stays a plain take)."""
+    take = take_fn if take_fn is not None else lambda us, A: jnp.take(us, A, axis=0)
 
     def scan_body(carry, elem):
         xs_prev, log_ps_prev, log_ws = carry
@@ -260,7 +276,7 @@ def twisted_smc(key: JKey, y: JArray, ts: JArray,
         key_resampling, key_prop = jax.random.split(key_step)
 
         inds = resampling(jnp.exp(log_ws), key_resampling)
-        xs_prev = jnp.take(xs_prev, inds, axis=0)
+        xs_prev = take(xs_prev, inds)
         log_ps_prev = jnp.take(log_ps_prev, inds, axis=0)
 
         xs = twisting_prop_sampler(key_prop, xs_prev, t_prev, y, **kwargs)
