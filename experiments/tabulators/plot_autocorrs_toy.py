@@ -58,7 +58,12 @@ def main():
         if not acs:
             print(f"{method}: no results")
             continue
-        curves[method] = np.mean(np.stack(acs), axis=0)
+        # Compact-stat entries store curves at max_lag=100; clamp to the
+        # shortest curve so a larger --max_lag cannot make the stack ragged.
+        min_lag = min(a.shape[0] for a in acs)
+        if min_lag < args.max_lag:
+            print(f"{method}: clamping to stored max_lag={min_lag}")
+        curves[method] = np.mean(np.stack([a[:min_lag] for a in acs]), axis=0)
         print(f"{method} | mean ESS {np.mean(esss):.1f} | "
               f"autocorr@1 {curves[method][0]:.3f} | autocorr@10 {curves[method][9]:.3f}")
 

@@ -148,8 +148,11 @@ def main():
                 if out is None:
                     continue
                 ny0s, psnrs, ssims, lpipss = out
+                # Total count, not y0s x per-y0: sample stacks can have mixed
+                # lengths (resumed rows), so an integer-divided average would
+                # misstate the per-y0 count.
                 msg = (f"{args.dataset} {args.task}-{args.size} {method} N={nparticles} "
-                       f"({ny0s} y0s x {psnrs.size // ny0s} samples) | "
+                       f"({ny0s} y0s, {psnrs.size} samples) | "
                        f"PSNR {psnrs.mean():.3f} +- {psnrs.std():.3f} | "
                        f"SSIM {ssims.mean():.4f} +- {ssims.std():.4f}")
                 if lpipss:

@@ -59,7 +59,17 @@ def enable(cache_dir: str | None = None, min_compile_secs: float = 1.0) -> str:
         jax.config.update("jax_platforms", forced)
 
     path = cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR", _DEFAULT_DIR)
-    if (forced or "").startswith("cpu") or os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    # CPU executables are AOT-compiled for the host's exact ISA, so CPU cache
+    # entries must be scoped per host signature (a shared dir SIGILLs across
+    # heterogeneous hosts).  Scope when any config forces CPU — and also when
+    # nothing forces a platform at all and auto-detection resolves to CPU
+    # (initialising the backend is harmless then: no accelerator is
+    # configured, and callers proceed to compute right after).
+    cpu = ((forced or "").startswith("cpu")
+           or os.environ.get("JAX_PLATFORMS", "").startswith("cpu"))
+    if not cpu and not forced and not os.environ.get("JAX_PLATFORMS"):
+        cpu = jax.default_backend() == "cpu"
+    if cpu:
         path = os.path.join(path, f"cpu-{_host_signature()}")
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
