@@ -99,6 +99,35 @@ def build_sweep(nparticles: int, nsteps: int, dim: int, image_shape, compute_dty
     return sweep, (x0, us_star, bs_star)
 
 
+# Peak dense bf16 FLOP/s per chip (the MFU denominator), by device kind.
+# Sources: Google TPU system-architecture table / "How to Scale Your Model".
+_PEAK_BF16_FLOPS = {
+    "v4": 275e12,
+    "v5 lite": 197e12, "v5e": 197e12, "v5litepod": 197e12,
+    "v5p": 459e12,
+    "v6 lite": 918e12, "v6e": 918e12,
+}
+
+
+def _peak_flops(device) -> float | None:
+    kind = getattr(device, "device_kind", "").lower()
+    for name, peak in _PEAK_BF16_FLOPS.items():
+        if name in kind:
+            return peak
+    return None
+
+
+def _program_flops(jitted, *args) -> float | None:
+    """XLA's own FLOP count for the compiled program (f32-equivalent ops)."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):  # older jax returns [dict]
+            cost = cost[0]
+        return float(cost["flops"])
+    except Exception:
+        return None
+
+
 def time_sweep(nparticles, nsteps, dim, image_shape, compute_dtype, nreps,
                task="inpaint-15", fused_resblock=False):
     sweep, (x0, us_star, bs_star) = build_sweep(nparticles, nsteps, dim,
@@ -116,7 +145,8 @@ def time_sweep(nparticles, nsteps, dim, image_shape, compute_dtype, nreps,
     # block_until_ready can return at enqueue time, which once timed a full
     # 256^2 sweep at 0.0 s.  A scalar readback cannot lie.
     float(jnp.sum(x0_))
-    return (time.perf_counter() - t0) / nreps
+    elapsed = (time.perf_counter() - t0) / nreps
+    return elapsed, _program_flops(sweep, key, x0, us_star, bs_star)
 
 
 def main():
@@ -145,8 +175,8 @@ def main():
 
     import sys
     fused_resblock = "--fused_resblock" in sys.argv
-    elapsed = time_sweep(nparticles, nsteps, dim, image_shape, compute_dtype, nreps,
-                         fused_resblock=fused_resblock)
+    elapsed, flops = time_sweep(nparticles, nsteps, dim, image_shape, compute_dtype,
+                                nreps, fused_resblock=fused_resblock)
     particle_steps_per_sec = nparticles * nsteps / elapsed
     vs_baseline = particle_steps_per_sec / REFERENCE_PARTICLE_STEPS_PER_SEC
 
@@ -162,10 +192,39 @@ def main():
         "baseline_is_envelope_upper_bound": True,
     }
 
+    # MFU: XLA's FLOP count for the whole sweep program over the chip's peak
+    # dense bf16 rate.  The sweep is sampler-dominated (small per-particle
+    # matmuls at 28^2), so this quantifies how far the config of record sits
+    # from the MXU roofline — see docs/roofline.md for the per-op analysis.
+    peak = _peak_flops(jax.devices()[0]) if on_tpu else None
+    if flops is not None:
+        detail["sweep_gflops"] = round(flops / 1e9, 2)
+        if peak is not None:
+            detail["mfu"] = round(flops / elapsed / peak, 4)
+            detail["peak_bf16_tflops"] = peak / 1e12
+
+    if on_tpu and not os.environ.get("BENCH_SKIP_256"):
+        # CelebA-HQ-256 inpaint-128 sweep chunk (the largest production
+        # shape; N = 64 fills the chip's HBM, reference-scale K = 1000 runs
+        # as 25-step dispatch chunks to stay inside the tunnel's per-dispatch
+        # kill window — same per-step program as the full sweep).
+        try:
+            el256, fl256 = time_sweep(64, 25, dim, (256, 256, 3), compute_dtype, 1,
+                                      task="inpaint-128")
+            detail["celeba256_inpaint128_N64"] = {
+                "sec_per_25step_chunk": round(el256, 4),
+                "particle_steps_per_sec": round(64 * 25 / el256, 1),
+            }
+            if fl256 is not None and peak is not None:
+                detail["celeba256_inpaint128_N64"]["mfu"] = round(
+                    fl256 / el256 / peak, 4)
+        except Exception as e:  # HBM-bound config: report, do not fail bench
+            detail["celeba256_inpaint128_N64"] = {"error": str(e)[:200]}
+
     if on_tpu and os.environ.get("BENCH_FULL"):
         # CelebA-HQ-64 inpaint-32 sweep (reference CelebA config: N = 10).
-        elapsed64 = time_sweep(10, 1000, dim, (64, 64, 3), compute_dtype, nreps,
-                               task="inpaint-32")
+        elapsed64, _ = time_sweep(10, 1000, dim, (64, 64, 3), compute_dtype, nreps,
+                                  task="inpaint-32")
         detail["celeba64_inpaint32_N10_sec_per_sweep"] = round(elapsed64, 4)
         detail["celeba64_particle_steps_per_sec"] = round(10 * 1000 / elapsed64, 1)
 
