@@ -24,7 +24,7 @@ REFERENCE_PARTICLE_STEPS_PER_SEC = 12_500.0
 
 def build_sweep(nparticles: int, nsteps: int, dim: int, image_shape, compute_dtype,
                 task: str = "inpaint-15", xs=None, microbatch: int = 1,
-                fused_resblock: bool = False):
+                fused_resblock: bool = False, fused_linear_attn: bool = False):
     """Build a jitted Gibbs sweep closure on synthetic (or provided) images."""
     from fbs_tpu.data import ImageRestore
     from fbs_tpu.nn import UNet, make_st_nn
@@ -49,7 +49,8 @@ def build_sweep(nparticles: int, nsteps: int, dim: int, image_shape, compute_dty
     # image (x = unobserved pixels, y = observed pixels), so the score net
     # sees c channels (reference experiments/imgs/inpainting.py:102-115).
     unet = UNet(dt=T / 200, dim=dim, dim_mults=(1, 2, 4), compute_dtype=compute_dtype,
-                ws_frozen=True, fused_resblock=fused_resblock)
+                ws_frozen=True, fused_resblock=fused_resblock,
+                fused_linear_attn=fused_linear_attn)
     param, array_to_dict, nn_score = make_st_nn(key, unet, (h, w, c), batch_size=2)
     # Params are frozen during the sweep: pre-apply weight standardisation
     # (bitwise identical; drops per-forward f32 kernel stats).
@@ -129,10 +130,11 @@ def _program_flops(jitted, *args) -> float | None:
 
 
 def time_sweep(nparticles, nsteps, dim, image_shape, compute_dtype, nreps,
-               task="inpaint-15", fused_resblock=False):
+               task="inpaint-15", fused_resblock=False, fused_linear_attn=False):
     sweep, (x0, us_star, bs_star) = build_sweep(nparticles, nsteps, dim,
                                                 image_shape, compute_dtype, task=task,
-                                                fused_resblock=fused_resblock)
+                                                fused_resblock=fused_resblock,
+                                                fused_linear_attn=fused_linear_attn)
     key = jax.random.PRNGKey(0)
     x0_, us_, bs_, _ = sweep(key, x0, us_star, bs_star)  # compile + warmup
     float(jnp.sum(x0_))  # value fetch: see the note in the timed loop below
@@ -175,8 +177,10 @@ def main():
 
     import sys
     fused_resblock = "--fused_resblock" in sys.argv
+    fused_linear_attn = "--fused_linear_attn" in sys.argv
     elapsed, flops = time_sweep(nparticles, nsteps, dim, image_shape, compute_dtype,
-                                nreps, fused_resblock=fused_resblock)
+                                nreps, fused_resblock=fused_resblock,
+                                fused_linear_attn=fused_linear_attn)
     particle_steps_per_sec = nparticles * nsteps / elapsed
     vs_baseline = particle_steps_per_sec / REFERENCE_PARTICLE_STEPS_PER_SEC
 

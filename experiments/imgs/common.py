@@ -40,6 +40,8 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--no_ws_frozen", action="store_true", default=False,
                    help="Recompute weight standardisation per forward instead "
                         "of pre-applying it to the frozen sampling params.")
+    p.add_argument("--fused_linear_attn", action="store_true", default=False,
+                   help="Whole-gate Pallas linear attention (sampling only).")
     p.add_argument("--fused_resblock", action="store_true", default=False,
                    help="Whole-ResBlock Pallas kernel on the score forward "
                         "(sampling only; requires ws_frozen).")
@@ -103,9 +105,10 @@ def load_score_network(args, key, image_shape, T: float):
     # per-forward f32 kernel statistics on every one of the K*N score evals).
     ws_frozen = not getattr(args, "no_ws_frozen", False)
     fused_rb = getattr(args, "fused_resblock", False)
+    fused_la = getattr(args, "fused_linear_attn", False)
     unet = UNet(dt=T / 200, dim=args.unet_dim, upsampling="pixel_shuffle",
                 compute_dtype=dtype, ws_frozen=ws_frozen,
-                fused_resblock=fused_rb)
+                fused_resblock=fused_rb, fused_linear_attn=fused_la)
     _, array_to_dict, nn_score = make_st_nn(key, unet, image_shape, batch_size=2)
 
     from fbs_tpu.checkpoints import load_params_npz

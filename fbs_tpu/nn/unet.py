@@ -370,15 +370,77 @@ class LinearAttention(nn.Module):
         return nn.LayerNorm(epsilon=1e-5, use_bias=False)(out.astype(jnp.float32))
 
 
+class _ScaleParam(nn.Module):
+    """Declares a LayerNorm-compatible 'scale' param for the fused-gate path."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("scale", nn.initializers.ones, (self.features,))
+
+
+class _Conv1x1Params(nn.Module):
+    """Declares nn.Conv-compatible 1x1 (kernel, bias) params."""
+    cin: int
+    cout: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, self.cin, self.cout))
+        bias = (self.param("bias", nn.initializers.zeros, (self.cout,))
+                if self.use_bias else None)
+        return kernel, bias
+
+
+class _LinAttnParams(nn.Module):
+    """Declares LinearAttention-compatible params (Conv_0/Conv_1/LayerNorm_0)
+    for the fused-gate path — same names/shapes, so checkpoints interoperate."""
+    dim: int
+    cin: int
+
+    @nn.compact
+    def __call__(self):
+        w_qkv, _ = _Conv1x1Params(self.cin, self.dim * 3, use_bias=False,
+                                  name="Conv_0")()
+        w_out, b_out = _Conv1x1Params(self.dim, self.cin, name="Conv_1")()
+        ln2 = _ScaleParam(self.cin, name="LayerNorm_0")()
+        return w_qkv, w_out, b_out, ln2
+
+
 class AttnGate(nn.Module):
-    """Pre-norm attention with residual."""
+    """Pre-norm attention with residual.
+
+    ``fused_linear`` routes the linear gate through the whole-gate Pallas
+    kernel (``fbs_tpu.ops.linear_attn_pallas``): one VMEM residency per
+    image instead of ~10 XLA op boundaries.  Forward-only (sampling);
+    parameter paths match the module path so checkpoints interoperate.
+    Above 4096 tokens (e.g. 128^2+) the activations outgrow VMEM and the
+    module path runs regardless.
+    """
     heads: int = 4
     dim_head: int = 32
     linear: bool = True
     dtype: Any = jnp.float32
+    fused_linear: bool = False
 
     @nn.compact
     def __call__(self, x):
+        B, H, W, C = x.shape
+        if self.linear and self.fused_linear and H * W <= 4096:
+            from fbs_tpu.ops.linear_attn_pallas import fused_linear_attn_gate
+
+            dim = self.heads * self.dim_head
+            ln1 = _ScaleParam(C, name="LayerNorm_0")()
+            w_qkv, w_out, b_out, ln2 = _LinAttnParams(dim, C,
+                                                      name="LinearAttention_0")()
+            return fused_linear_attn_gate(
+                x, ln1, w_qkv.reshape(C, 3 * dim), w_out.reshape(dim, C),
+                b_out, ln2, heads=self.heads, dim_head=self.dim_head,
+                dot_dtype=self.dtype,
+                interpret=jax.default_backend() != "tpu")
+
         normed = nn.LayerNorm(epsilon=1e-5, use_bias=False)(x)
         if self.linear:
             out = LinearAttention(self.heads, self.dim_head, dtype=self.dtype)(normed)
@@ -452,6 +514,7 @@ class UNet(nn.Module):
     fused_norms: bool = False  # one-pass Pallas GroupNorm (sampling only)
     ws_frozen: bool = False  # kernels pre-standardised (standardize_ws_kernels)
     fused_resblock: bool = False  # whole-block Pallas kernel (sampling only)
+    fused_linear_attn: bool = False  # whole-gate Pallas kernel (sampling only)
     compute_dtype: Any = jnp.float32
 
     @nn.compact
@@ -486,7 +549,8 @@ class UNet(nn.Module):
             h = ResBlock(dim=dim_in, groups=self.resnet_block_groups, dtype=dtype,
                          fused_norms=self.fused_norms, ws_frozen=self.ws_frozen,
                          fused_resblock=self.fused_resblock)(h, t_emb)
-            h = AttnGate(linear=True, dtype=dtype, name=f"down_{ind}_attn")(h)
+            h = AttnGate(linear=True, dtype=dtype, name=f"down_{ind}_attn",
+                         fused_linear=self.fused_linear_attn)(h)
             hs.append(h)
             if ind < nres - 1:
                 h = Downsample(dim=self.dim * self.dim_mults[ind], dtype=dtype,
@@ -519,7 +583,8 @@ class UNet(nn.Module):
                          fused_norms=self.fused_norms, ws_frozen=self.ws_frozen,
                          fused_resblock=self.fused_resblock,
                          name=f"up_{ind}_res1")(h, t_emb, skip=hs.pop())
-            h = AttnGate(linear=True, dtype=dtype, name=f"up_{ind}_attn")(h)
+            h = AttnGate(linear=True, dtype=dtype, name=f"up_{ind}_attn",
+                         fused_linear=self.fused_linear_attn)(h)
             if ind > 0:
                 h = Upsample(dim=dim_out, method=self.upsampling, dtype=dtype,
                              name=f"up_{ind}_us")(h)

@@ -5,6 +5,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import numpy.testing as npt
+import pytest
 
 
 from fbs_tpu.ops import resample_indices_pallas, simulate_linear_sde_path_pallas
@@ -161,3 +162,58 @@ def test_microbatched_kernels_match_unchunked():
     cu, cw = chunked[3](us_prev, v, v_prev, t_prev, key)
     npt.assert_allclose(pu, cu, rtol=1e-6)
     npt.assert_allclose(pw, cw, rtol=1e-6)
+
+
+class TestFusedLinearAttnGate:
+    """Whole-gate Pallas linear attention (fbs_tpu/ops/linear_attn_pallas.py)."""
+
+    def _params(self, key, C, D):
+        ks = jax.random.split(key, 5)
+        return (1 + 0.1 * jax.random.normal(ks[0], (C,)),
+                0.2 * jax.random.normal(ks[1], (C, 3 * D)),
+                0.2 * jax.random.normal(ks[2], (D, C)),
+                0.1 * jax.random.normal(ks[3], (C,)),
+                1 + 0.1 * jax.random.normal(ks[4], (C,)))
+
+    @pytest.mark.parametrize("shape", [(3, 14, 14, 64), (2, 7, 7, 32)])
+    def test_kernel_matches_reference(self, shape):
+        from fbs_tpu.ops.linear_attn_pallas import (fused_linear_attn_gate,
+                                                    linear_attn_gate_reference)
+
+        B, H, W, C = shape
+        heads, dh = 4, 32
+        x = jax.random.normal(jax.random.PRNGKey(0), shape)
+        ln1, wqkv, wo, bo, ln2 = self._params(jax.random.PRNGKey(1), C, heads * dh)
+        ref = linear_attn_gate_reference(x.reshape(B, H * W, C), ln1, wqkv, wo,
+                                         bo, ln2, heads, dh).reshape(shape)
+        got = fused_linear_attn_gate(x, ln1, wqkv, wo, bo, ln2, heads, dh,
+                                     interpret=True)
+        npt.assert_allclose(np.asarray(got), np.asarray(ref), rtol=3e-5, atol=3e-5)
+
+    def test_gate_module_parity_and_param_compat(self):
+        """AttnGate(fused_linear=True) == AttnGate under the SAME param dict,
+        and both inits produce identical param trees (checkpoint compat)."""
+        from fbs_tpu.nn.unet import AttnGate
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (3, 14, 14, 64))
+        plain = AttnGate(linear=True)
+        fused = AttnGate(linear=True, fused_linear=True)
+        params = plain.init(jax.random.PRNGKey(1), x)
+        npt.assert_allclose(np.asarray(fused.apply(params, x)),
+                            np.asarray(plain.apply(params, x)),
+                            rtol=3e-5, atol=3e-5)
+        pf = fused.init(jax.random.PRNGKey(1), x)
+        assert jax.tree.structure(params) == jax.tree.structure(pf)
+        assert (jax.tree.map(lambda a: a.shape, params)
+                == jax.tree.map(lambda a: a.shape, pf))
+
+    def test_unet_flag_parity(self):
+        from fbs_tpu.nn.unet import UNet
+
+        xi = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 16, 1))
+        ti = jnp.array([0.3, 0.7])
+        plain = UNet(dt=0.01, dim=32, dim_mults=(1, 2))
+        fused = UNet(dt=0.01, dim=32, dim_mults=(1, 2), fused_linear_attn=True)
+        p = plain.init(jax.random.PRNGKey(3), xi, ti)
+        r1, r2 = plain.apply(p, xi, ti), fused.apply(p, xi, ti)
+        npt.assert_allclose(np.asarray(r2), np.asarray(r1), rtol=2e-4, atol=1e-5)
