@@ -178,3 +178,58 @@ def test_oneshot_baselines_sample_batched(tmp_path, monkeypatch, script, tag):
     stack = np.load(f"./imgs/results_inpainting/mnist-15-lin-4-0-{tag}.npy")
     assert stack.shape == (3, 28, 28, 1)
     assert np.isfinite(stack).all()
+
+
+@pytest.mark.parametrize("task,script_name,extra", [
+    ("inpaint", "inpainting", ["--rect_size", "32"]),
+    ("supr", "supr", ["--rate", "2"]),
+])
+def test_celeba64_entry_contract(tmp_path, monkeypatch, capsys, task, script_name, extra):
+    """The CelebA-64 sampling entries (the reference's celeba table configs,
+    ``/root/reference/experiments/bashes/imgs_gibbs.sh:21-39``) run end to
+    end: CelebAHQRestore load, 64^2 mask algebra, multi-y0 dispatch, the
+    artifact contract, and the tabulator row including the LPIPS column
+    (non-MNIST resolutions compute it)."""
+    from fbs_tpu.nn import UNet, make_st_nn
+
+    monkeypatch.chdir(tmp_path)
+
+    os.makedirs("datasets")
+    rng = np.random.default_rng(0)
+    np.save("datasets/celeba_hq64.npy",
+            rng.uniform(0.0, 1.0, (8, 64, 64, 3)).astype(np.float32))
+
+    os.makedirs("checkpoints")
+    unet = UNet(dt=2.0 / 200, dim=8, upsampling="pixel_shuffle")
+    param, _, _ = make_st_nn(jax.random.PRNGKey(0), unet, (64, 64, 3), batch_size=2)
+    np.savez("checkpoints/celeba-64_lin_0.npz", param=np.asarray(param),
+             ema_param=np.asarray(param))
+
+    import importlib
+    module = importlib.import_module(f"experiments.imgs.{script_name}")
+    _run_main(module, [
+        "--dataset", "celeba-64", "--ny0s", "2", "--nsamples", "2",
+        "--test_nsteps", "4", "--nparticles", "2", "--unet_dim", "8",
+        "--test_epoch", "0", "--method", "gibbs-eb-ef",
+        "--y0s_per_dispatch", "2", "--sweeps_per_dispatch", "1", *extra,
+    ])
+
+    size = "32" if task == "inpaint" else "2"
+    results_dir = "results_inpainting" if task == "inpaint" else "results_supr"
+    for k in range(2):
+        head = f"./imgs/{results_dir}/celeba-64-{size}-lin-2-{k}"
+        truth = np.load(head + "-true.npz")
+        assert truth["test_img"].shape == (64, 64, 3)
+        assert np.load(head + "-gibbs-eb-ef.npy").shape == (2, 64, 64, 3)
+
+    from experiments.tabulators import tabulate_imgs
+    capsys.readouterr()
+    _run_main(tabulate_imgs, [
+        "--task", "inpainting" if task == "inpaint" else "supr",
+        "--dataset", "celeba-64", "--size", size,
+        "--nparticles", "2", "--method", "gibbs-eb-ef", "--ny0s", "2",
+        "--results_dir", f"./imgs/{results_dir}",
+    ])
+    out = capsys.readouterr().out
+    assert "PSNR" in out and "SSIM" in out, out
+    assert "lpips" in out.lower(), out
