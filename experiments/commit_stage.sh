@@ -15,7 +15,10 @@ exec 9>/tmp/fbs_git.lock
 flock 9
 git add -A experiments docs STATUS.md README.md 2>/dev/null || true
 for f in "$@"; do
+  # Queues pass artifact paths relative to experiments/ (their cwd); this
+  # script runs at the repo root — try both resolutions.
   git add -f "$f" 2>/dev/null || true
+  git add -f "experiments/$f" 2>/dev/null || true
 done
 if git diff --cached --quiet; then
   echo "commit_stage: nothing to commit for: $MSG"
