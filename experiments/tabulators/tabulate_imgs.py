@@ -71,6 +71,17 @@ def _try_lpips():
 _TABLE_METHODS = ("gibbs-eb-ef", "gibbs-eb", "filter", "pmcmc-0.005", "twisted", "csgm")
 _TABLE_NPARTICLES = (10, 100)
 
+# Default table blocks, one per dataset: task -> corruption size, plus the
+# particle-count column set.  Mirrors the reference's sweep
+# (/root/reference/experiments/bashes/imgs_gibbs.sh:21-39): MNIST at
+# inpaint-15/supr-4 with N in {10, 100}; CelebA-HQ-{64,128} at
+# inpaint-{32,64}/supr-2 with N in {2, 10}.
+_TABLE_BLOCKS = {
+    "mnist": {"inpainting": 15, "supr": 4, "nparticles": (10, 100)},
+    "celeba-64": {"inpainting": 32, "supr": 2, "nparticles": (2, 10)},
+    "celeba-128": {"inpainting": 64, "supr": 2, "nparticles": (2, 10)},
+}
+
 
 def _cell(args, nparticles, method, psnr_j, ssim_j, lpips_fn):
     """Gather one (method, N) table cell; returns None when no artifacts exist."""
@@ -114,7 +125,9 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--task", type=str, default="all",
                         help="inpainting, supr, or 'all' for both tables")
-    parser.add_argument("--dataset", type=str, default="mnist")
+    parser.add_argument("--dataset", type=str, default="all",
+                        help="mnist, celeba-64, celeba-128, or 'all' for "
+                             "every table block with committed artifacts")
     parser.add_argument("--size", type=int, default=None,
                         help="rect size or SR rate (default: 15 inpainting / 4 supr)")
     parser.add_argument("--sde", type=str, default="lin")
@@ -133,36 +146,42 @@ def main():
     ssim_j = jax.jit(jax.vmap(ssim, in_axes=[None, 0]))
 
     methods = _TABLE_METHODS if args.method == "all" else (args.method,)
-    particle_counts = (_TABLE_NPARTICLES if args.nparticles == "all"
-                       else (int(args.nparticles),))
     tasks = ("inpainting", "supr") if args.task == "all" else (args.task,)
+    datasets = (tuple(_TABLE_BLOCKS) if args.dataset == "all"
+                else (args.dataset,))
     user_size = args.size
     printed = 0
-    for task in tasks:
-        args.task = task
-        args.size = user_size if user_size is not None else (
-            15 if task == "inpainting" else 4)
-        for method in methods:
-            for nparticles in particle_counts:
-                out = _cell(args, nparticles, method, psnr_j, ssim_j, lpips_fn)
-                if out is None:
-                    continue
-                ny0s, psnrs, ssims, lpipss = out
-                # Total count, not y0s x per-y0: sample stacks can have mixed
-                # lengths (resumed rows), so an integer-divided average would
-                # misstate the per-y0 count.
-                msg = (f"{args.dataset} {args.task}-{args.size} {method} N={nparticles} "
-                       f"({ny0s} y0s, {psnrs.size} samples) | "
-                       f"PSNR {psnrs.mean():.3f} +- {psnrs.std():.3f} | "
-                       f"SSIM {ssims.mean():.4f} +- {ssims.std():.4f}")
-                if lpipss:
-                    lp = np.asarray(lpipss)
-                    msg += f" | {lpips_label} {lp.mean():.4f} +- {lp.std():.4f}"
-                else:
-                    msg += (" | LPIPS skipped (resolution < 32; reference computes "
-                            "it for non-MNIST only)")
-                print(msg)
-                printed += 1
+    for dataset in datasets:
+        args.dataset = dataset
+        block = _TABLE_BLOCKS.get(dataset,
+                                  {"inpainting": 15, "supr": 4,
+                                   "nparticles": _TABLE_NPARTICLES})
+        particle_counts = (block["nparticles"] if args.nparticles == "all"
+                           else (int(args.nparticles),))
+        for task in tasks:
+            args.task = task
+            args.size = user_size if user_size is not None else block[task]
+            for method in methods:
+                for nparticles in particle_counts:
+                    out = _cell(args, nparticles, method, psnr_j, ssim_j, lpips_fn)
+                    if out is None:
+                        continue
+                    ny0s, psnrs, ssims, lpipss = out
+                    # Total count, not y0s x per-y0: sample stacks can have mixed
+                    # lengths (resumed rows), so an integer-divided average would
+                    # misstate the per-y0 count.
+                    msg = (f"{args.dataset} {args.task}-{args.size} {method} N={nparticles} "
+                           f"({ny0s} y0s, {psnrs.size} samples) | "
+                           f"PSNR {psnrs.mean():.3f} +- {psnrs.std():.3f} | "
+                           f"SSIM {ssims.mean():.4f} +- {ssims.std():.4f}")
+                    if lpipss:
+                        lp = np.asarray(lpipss)
+                        msg += f" | {lpips_label} {lp.mean():.4f} +- {lp.std():.4f}"
+                    else:
+                        msg += (" | LPIPS skipped (resolution < 32; reference computes "
+                                "it for non-MNIST only)")
+                    print(msg)
+                    printed += 1
 
     from _common import fail_if_empty
     fail_if_empty(printed, f"{'/'.join(tasks)} ({args.method}, N={args.nparticles}) "
