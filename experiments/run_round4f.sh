@@ -77,4 +77,54 @@ while :; do
     break
   fi
 done
+
+# ---- chain: CelebA-HQ-128 score model (VERDICT r3 item 2) --------------
+# Reference recipe is dataset-independent (run_train.sh: batch 256, nsteps
+# 256, cos, 3000 epochs, grad_clip, save_mem).  At 128^2x3 on a 16 GB v5e
+# chip batch 256 may not fit even with save_mem+bf16; the fallback halves
+# the batch and doubles steps/epoch (same images/epoch, documented
+# deviation) — artifacts record which geometry ran via the train log.
+latest_128() {
+  ls checkpoints/celeba-128_lin_*[0-9].npz 2>/dev/null | grep -v _ema \
+    | sed 's/.*_\([0-9]*\)\.npz/\1/' | sort -n | tail -1
+}
+if [ "$( latest_ck )" -ge 2999 ] 2>/dev/null; then
+  GEOM="--batch_size 256 --nsteps 256"
+  [ -f /tmp/r4f_128_fallback ] && GEOM="--batch_size 128 --nsteps 512"
+  while :; do
+    CUR=$(latest_128)
+    [ "${CUR:-0}" -ge 2999 ] 2>/dev/null && { echo "celeba-128 training complete"; break; }
+    RESUME=()
+    [ -n "${CUR:-}" ] && RESUME=(--init_from "checkpoints/celeba-128_lin_${CUR}.npz" \
+                                 --start_epoch $((CUR + 1)))
+    ( while sleep 600; do ./commit_stage.sh "celeba-128 training progress (r4f)" \
+        checkpoints/celeba-128_lin_*.npz >/dev/null 2>&1; done ) &
+    CPID=$!
+    python imgs/train.py \
+      --dataset celeba-128 --sde lin --upsampling pixel_shuffle \
+      $GEOM --nepochs 3000 --schedule cos --grad_clip \
+      --save_mem --remat --bf16 --dp --checkpoint_every 50 "${RESUME[@]}" \
+      >> "$LOG/celeba128_train.log" 2>&1 &
+    TPID=$!
+    echo "$TPID" > /tmp/r4f_train.pid
+    wait "$TPID"
+    rc=$?
+    kill "$CPID" 2>/dev/null
+    ./commit_stage.sh "celeba-128 training checkpoints (r4f, rc=$rc)" \
+      checkpoints/celeba-128_lin_*.npz
+    NEW=$(latest_128)
+    if [ "${NEW:-0}" = "${CUR:-0}" ] && [ "$rc" -ne 0 ]; then
+      if [ "$GEOM" = "--batch_size 256 --nsteps 256" ] \
+         && grep -qi "resource_exhausted\|out of memory\|oom" "$LOG/celeba128_train.log"; then
+        echo "batch 256 OOM at 128^2; retrying at batch 128 x 512 steps"
+        touch /tmp/r4f_128_fallback
+        GEOM="--batch_size 128 --nsteps 512"
+        continue
+      fi
+      echo "celeba-128 training made no progress (rc=$rc); stopping"
+      tail -5 "$LOG/celeba128_train.log"
+      break
+    fi
+  done
+fi
 echo "r4f done at $(date -u +%H:%M:%S)"
