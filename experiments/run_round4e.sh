@@ -22,7 +22,9 @@
 set -u
 cd "$(dirname "$0")"
 LOG=${LOG:-/tmp/r4}
-OUT=../docs/measurements
+# Absolute (cwd-independent) measurements dir: stage 1 runs bench.py from the
+# repo root, where a relative ../docs would resolve OUTSIDE the repo.
+OUT="$PWD/../docs/measurements"
 mkdir -p "$LOG" "$OUT"
 DEADLINE_FILE=/tmp/r4e_deadline
 if [ -f "$DEADLINE_FILE" ]; then
@@ -102,7 +104,7 @@ T100="--nparticles=100 --ny0s=100 --nsamples=5 --samples_per_dispatch=2"
 P100="--nparticles=100 --ny0s=100 --nsamples=5 --y0s_per_dispatch=2 --sweeps_per_dispatch=1"
 
 stage "2/10 finish the supr twisted N=10 row (63 -> 100)"
-unit 2700 results_supr mnist-4-lin-10 twisted 100 \
+unit 5400 results_supr mnist-4-lin-10 twisted 100 \
   "Table 3 N=10 twisted rows: supr-4, 100 y0s (r4e)" \
   imgs/supr_twisted.py $MCOMMON $B10 --rate=4
 
@@ -158,19 +160,19 @@ celeba_rows() {  # celeba_rows <ny0s> <gibbs_cap> <other_cap>
 }
 
 stage "3/10 CelebA-64 table rows, 30 y0s (epoch $EP)"
-celeba_rows 30 5400 3600
+celeba_rows 30 7200 5400
 
 stage "4/10 MNIST N=100 filter + twisted rows"
-unit 4500 results_inpainting mnist-15-lin-100 filter 100 \
+unit 6300 results_inpainting mnist-15-lin-100 filter 100 \
   "Table 2 N=100 filter rows (r4e)" \
   imgs/inpainting.py $MCOMMON $M100 --rect_size=15 --method=filter
-unit 4500 results_supr mnist-4-lin-100 filter 100 \
+unit 6300 results_supr mnist-4-lin-100 filter 100 \
   "Table 3 N=100 filter rows (r4e)" \
   imgs/supr.py $MCOMMON $M100 --rate=4 --method=filter
-unit 4500 results_inpainting mnist-15-lin-100 twisted 100 \
+unit 6300 results_inpainting mnist-15-lin-100 twisted 100 \
   "Table 2 N=100 twisted rows (r4e)" \
   imgs/inpainting_twisted.py $MCOMMON $T100 --rect_size=15
-unit 4500 results_supr mnist-4-lin-100 twisted 100 \
+unit 6300 results_supr mnist-4-lin-100 twisted 100 \
   "Table 3 N=100 twisted rows (r4e)" \
   imgs/supr_twisted.py $MCOMMON $T100 --rate=4
 
