@@ -233,3 +233,31 @@ def test_celeba64_entry_contract(tmp_path, monkeypatch, capsys, task, script_nam
     out = capsys.readouterr().out
     assert "PSNR" in out and "SSIM" in out, out
     assert "lpips" in out.lower(), out
+
+
+def test_tabulator_default_block_sweep(tmp_path, monkeypatch, capsys):
+    """`tabulate_imgs.py` with no flags sweeps every dataset block —
+    MNIST at inpaint-15/N in {10,100} and CelebA-64 at inpaint-32/
+    N in {2,10} (the reference's table grid,
+    /root/reference/experiments/bashes/imgs_gibbs.sh:21-39) — so CelebA
+    cells appear in the default tabulation as soon as artifacts exist."""
+    rng = np.random.default_rng(0)
+
+    def fake_cell(prefix, shape):
+        img = rng.uniform(0.0, 1.0, shape).astype(np.float32)
+        np.savez(str(tmp_path / f"{prefix}-true.npz"), test_img=img)
+        np.save(str(tmp_path / f"{prefix}-gibbs-eb-ef.npy"),
+                np.stack([img, np.clip(img + 0.1, 0, 1)]))
+
+    fake_cell("mnist-15-lin-10-0", (28, 28, 1))
+    fake_cell("celeba-64-32-lin-2-0", (64, 64, 3))
+
+    from experiments.tabulators import tabulate_imgs
+    capsys.readouterr()
+    _run_main(tabulate_imgs, [
+        "--task", "inpainting", "--method", "gibbs-eb-ef",
+        "--results_dir", str(tmp_path),
+    ])
+    out = capsys.readouterr().out
+    assert "mnist inpainting-15 gibbs-eb-ef N=10" in out, out
+    assert "celeba-64 inpainting-32 gibbs-eb-ef N=2" in out, out
