@@ -97,6 +97,19 @@ def build_sweep(nparticles: int, nsteps: int, dim: int, image_shape, compute_dty
     x0 = jnp.zeros((*dataset.unobs_shape,))
     us_star = jnp.zeros((nsteps + 1, *dataset.unobs_shape))
     bs_star = jnp.zeros((nsteps + 1,), dtype=int)
+
+    # Single-CSMC-step probe for FLOP accounting: XLA's cost_analysis() on the
+    # full sweep counts a while/scan body ONCE, not x trip-count, which
+    # understated the sweep FLOPs (and MFU) by ~3 orders of magnitude in
+    # BENCH_r04.  Cost-analyzing the per-step fused kernel and multiplying by
+    # the trip count gives the real number (the CSMC forward pass is where
+    # ~all the FLOPs are; forward noising/resampling are elementwise).
+    @jax.jit
+    def _step(us_prev, key_):
+        return fused_kernel(us_prev, y0, y0, jnp.asarray(0.5 * T), key_)
+
+    us_prev0 = jnp.zeros((nparticles, *dataset.unobs_shape))
+    sweep.step_probe = (_step, (us_prev0, key))
     return sweep, (x0, us_star, bs_star)
 
 
@@ -119,7 +132,11 @@ def _peak_flops(device) -> float | None:
 
 
 def _program_flops(jitted, *args) -> float | None:
-    """XLA's own FLOP count for the compiled program (f32-equivalent ops)."""
+    """XLA's own FLOP count for the compiled program (f32-equivalent ops).
+
+    NOTE: counts a ``lax.scan``/while body once, NOT x trip-count — only
+    valid for loop-free programs (like the single-step probe below).
+    """
     try:
         cost = jitted.lower(*args).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):  # older jax returns [dict]
@@ -127,6 +144,16 @@ def _program_flops(jitted, *args) -> float | None:
         return float(cost["flops"])
     except Exception:
         return None
+
+
+def _sweep_flops(sweep, nsteps: int) -> float | None:
+    """Real FLOPs of one Gibbs sweep: per-CSMC-step FLOPs x trip count."""
+    probe = getattr(sweep, "step_probe", None)
+    if probe is None:
+        return None
+    step, step_args = probe
+    per_step = _program_flops(step, *step_args)
+    return None if per_step is None else per_step * nsteps
 
 
 def time_sweep(nparticles, nsteps, dim, image_shape, compute_dtype, nreps,
@@ -148,7 +175,38 @@ def time_sweep(nparticles, nsteps, dim, image_shape, compute_dtype, nreps,
     # 256^2 sweep at 0.0 s.  A scalar readback cannot lie.
     float(jnp.sum(x0_))
     elapsed = (time.perf_counter() - t0) / nreps
-    return elapsed, _program_flops(sweep, key, x0, us_star, bs_star)
+    return elapsed, _sweep_flops(sweep, nsteps)
+
+
+def time_chains(nchains, nparticles, nsteps, dim, image_shape, compute_dtype, nreps,
+                task="inpaint-15", fused_linear_attn=False):
+    """Aggregate per-chip throughput: ``nchains`` vmapped Gibbs chains.
+
+    The production workload is 100 y0s x 100 sweeps per chip; the single-chain
+    config measures *latency* and leaves MXU idle time on the table at small
+    shapes.  Running V independent chains per dispatch (exactly what
+    ``--y0s_per_dispatch`` does in the experiment entry points) amortises it.
+    """
+    sweep, (x0, us_star, bs_star) = build_sweep(
+        nparticles, nsteps, dim, image_shape, compute_dtype, task=task,
+        fused_linear_attn=fused_linear_attn)
+    vsweep = jax.jit(jax.vmap(sweep))
+    x0s = jnp.broadcast_to(x0, (nchains, *x0.shape))
+    uss = jnp.broadcast_to(us_star, (nchains, *us_star.shape))
+    bss = jnp.broadcast_to(bs_star, (nchains, *bs_star.shape))
+    keys = jax.random.split(jax.random.PRNGKey(7), nchains)
+    x0s, uss, bss, _ = vsweep(keys, x0s, uss, bss)  # compile + warmup
+    float(jnp.sum(x0s))
+
+    t0 = time.perf_counter()
+    key = jax.random.PRNGKey(8)
+    for _ in range(nreps):
+        key, sub = jax.random.split(key)
+        x0s, uss, bss, _ = vsweep(jax.random.split(sub, nchains), x0s, uss, bss)
+    float(jnp.sum(x0s))
+    elapsed = (time.perf_counter() - t0) / nreps
+    flops = _sweep_flops(sweep, nsteps)
+    return elapsed, None if flops is None else flops * nchains
 
 
 def main():
@@ -181,8 +239,7 @@ def main():
     elapsed, flops = time_sweep(nparticles, nsteps, dim, image_shape, compute_dtype,
                                 nreps, fused_resblock=fused_resblock,
                                 fused_linear_attn=fused_linear_attn)
-    particle_steps_per_sec = nparticles * nsteps / elapsed
-    vs_baseline = particle_steps_per_sec / REFERENCE_PARTICLE_STEPS_PER_SEC
+    single_psps = nparticles * nsteps / elapsed
 
     detail = {
         "platform": platform,
@@ -190,22 +247,48 @@ def main():
         "nsteps": nsteps,
         "unet_dim": dim,
         "sec_per_sweep": round(elapsed, 4),
+        "single_chain_particle_steps_per_sec": round(single_psps, 1),
         # The reference publishes no throughput numbers; the baseline divisor
         # is the 22 h Slurm *limit* / 10^4 sweeps (an upper bound on the
         # reference's time), so vs_baseline is a lower bound on the speedup.
         "baseline_is_envelope_upper_bound": True,
     }
 
-    # MFU: XLA's FLOP count for the whole sweep program over the chip's peak
-    # dense bf16 rate.  The sweep is sampler-dominated (small per-particle
-    # matmuls at 28^2), so this quantifies how far the config of record sits
-    # from the MXU roofline — see docs/roofline.md for the per-op analysis.
+    # MFU: per-CSMC-step FLOPs (loop-free probe, so XLA's count is exact)
+    # x trip count, over the chip's peak dense bf16 rate — see
+    # docs/roofline.md for the per-op analysis.
     peak = _peak_flops(jax.devices()[0]) if on_tpu else None
     if flops is not None:
         detail["sweep_gflops"] = round(flops / 1e9, 2)
         if peak is not None:
             detail["mfu"] = round(flops / elapsed / peak, 4)
             detail["peak_bf16_tflops"] = peak / 1e12
+
+    # Aggregate per-chip throughput: V independent vmapped chains per
+    # dispatch — the production configuration (100 y0s x 100 sweeps/chip via
+    # --y0s_per_dispatch).  The single-chain config is latency-bound at
+    # 28x28; this is the number the 22-h envelope actually competes with.
+    particle_steps_per_sec = single_psps
+    if not os.environ.get("BENCH_SKIP_CHAINS"):
+        nchains = 4 if on_tpu else 2
+        try:
+            el_c, fl_c = time_chains(nchains, nparticles, nsteps, dim, image_shape,
+                                     compute_dtype, max(1, nreps - 1),
+                                     fused_linear_attn=fused_linear_attn)
+            agg_psps = nchains * nparticles * nsteps / el_c
+            chains_detail = {
+                "nchains": nchains,
+                "sec_per_joint_sweep": round(el_c, 4),
+                "particle_steps_per_sec": round(agg_psps, 1),
+            }
+            if fl_c is not None and peak is not None:
+                chains_detail["mfu"] = round(fl_c / el_c / peak, 4)
+            detail["chains_per_chip"] = chains_detail
+            particle_steps_per_sec = max(particle_steps_per_sec, agg_psps)
+        except Exception as e:
+            detail["chains_per_chip"] = {"error": str(e)[:200]}
+
+    vs_baseline = particle_steps_per_sec / REFERENCE_PARTICLE_STEPS_PER_SEC
 
     if on_tpu and not os.environ.get("BENCH_SKIP_256"):
         # CelebA-HQ-256 inpaint-128 sweep chunk (the largest production

@@ -24,6 +24,19 @@ if git diff --cached --quiet; then
   echo "commit_stage: nothing to commit for: $MSG"
   exit 0
 fi
+# Keep the committed summary tables in lockstep with the artifacts (round 4
+# shipped a tables doc missing rows its own artifacts contained): whenever a
+# stage lands image-sampling results, regenerate the tabulation in the same
+# commit.
+if git diff --cached --name-only | grep -q "experiments/imgs/results_"; then
+  TBL=docs/measurements/tables23_r5.txt
+  if timeout 900 env FBS_PLATFORM=cpu python experiments/tabulators/tabulate_imgs.py \
+      > "$TBL.tmp" 2>/dev/null; then
+    mv "$TBL.tmp" "$TBL" && git add "$TBL"
+  else
+    rm -f "$TBL.tmp"; echo "commit_stage: tabulation refresh failed (kept old $TBL)"
+  fi
+fi
 git commit -q -m "$MSG
 
 No-Verification-Needed: experiment artifacts / orchestration only" \

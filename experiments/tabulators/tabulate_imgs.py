@@ -149,6 +149,15 @@ def main():
     tasks = ("inpainting", "supr") if args.task == "all" else (args.task,)
     datasets = (tuple(_TABLE_BLOCKS) if args.dataset == "all"
                 else (args.dataset,))
+    # An explicit dataset outside the known table blocks (e.g. celeba-256)
+    # would silently inherit the MNIST geometry and die with a misleading
+    # "no results" error — require --size so the glob is intentional.
+    if (args.dataset != "all" and args.dataset not in _TABLE_BLOCKS
+            and args.size is None):
+        parser.error(f"unknown dataset {args.dataset!r} (known table blocks: "
+                     f"{', '.join(_TABLE_BLOCKS)}); pass --size explicitly "
+                     "to tabulate a non-table geometry")
+    requested_dataset = args.dataset
     user_size = args.size
     printed = 0
     for dataset in datasets:
@@ -184,7 +193,8 @@ def main():
                     printed += 1
 
     from _common import fail_if_empty
-    fail_if_empty(printed, f"{'/'.join(tasks)} ({args.method}, N={args.nparticles}) "
+    fail_if_empty(printed, f"{'/'.join(tasks)} ({requested_dataset}, {args.method}, "
+                           f"N={args.nparticles}) "
                            f"results under {args.results_dir or f'{_EXP}/imgs'}")
 
 

@@ -65,9 +65,16 @@ def enable(cache_dir: str | None = None, min_compile_secs: float = 1.0) -> str:
     # nothing forces a platform at all and auto-detection resolves to CPU
     # (initialising the backend is harmless then: no accelerator is
     # configured, and callers proceed to compute right after).
+    # jax.config reflects runtime forcing too (jax.config.update("jax_platforms",
+    # "cpu") — the only override that works under this platform's sitecustomize),
+    # which the env-var checks alone missed: such runs read/wrote the shared
+    # top-level dir and kept the cpu_aot_loader error walls alive.
+    cfg_platforms = getattr(jax.config, "jax_platforms", None) or ""
     cpu = ((forced or "").startswith("cpu")
+           or cfg_platforms.startswith("cpu")
            or os.environ.get("JAX_PLATFORMS", "").startswith("cpu"))
-    if not cpu and not forced and not os.environ.get("JAX_PLATFORMS"):
+    if (not cpu and not forced and not cfg_platforms
+            and not os.environ.get("JAX_PLATFORMS")):
         cpu = jax.default_backend() == "cpu"
     if cpu:
         path = os.path.join(path, f"cpu-{_host_signature()}")
