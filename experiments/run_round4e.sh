@@ -82,15 +82,25 @@ print("datasets ok:", d["X"].shape, c.shape)
 EOF
 
 stage "1/10 bench probe: plain vs fused linear-attention gate"
-if [ ! -f "$OUT/bench_r4_fusedattn.json" ] && ! past_deadline; then
+# Content-checked guard (ADVICE r4): a timeout/kill must not leave a 0-byte
+# file that permanently marks the probe done.  Write to a temp file and mv
+# on success.
+if ! { [ -s "$OUT/bench_r4_fusedattn.json" ] \
+       && grep -q '"metric"' "$OUT/bench_r4_fusedattn.json"; } && ! past_deadline; then
   cd ..
-  timeout "$(budget 1800)" python bench.py > "$OUT/bench_r4_plain.json" 2>"$LOG/bench_plain.err" \
-    || { echo "plain bench rc=$?"; tail -3 "$LOG/bench_plain.err"; }
-  tail -1 "$OUT/bench_r4_plain.json" || true
-  timeout "$(budget 1800)" python bench.py --fused_linear_attn \
-    > "$OUT/bench_r4_fusedattn.json" 2>"$LOG/bench_fusedattn.err" \
-    || { echo "fused-attn bench rc=$?"; tail -3 "$LOG/bench_fusedattn.err"; }
-  tail -1 "$OUT/bench_r4_fusedattn.json" || true
+  for VARIANT in plain fusedattn; do
+    EXTRA=""; [ "$VARIANT" = fusedattn ] && EXTRA="--fused_linear_attn"
+    timeout "$(budget 1800)" python bench.py $EXTRA \
+      > "$OUT/bench_r4_$VARIANT.json.tmp" 2>"$LOG/bench_$VARIANT.err" \
+      || { echo "$VARIANT bench rc=$?"; tail -3 "$LOG/bench_$VARIANT.err"; }
+    if [ -s "$OUT/bench_r4_$VARIANT.json.tmp" ] \
+       && grep -q '"metric"' "$OUT/bench_r4_$VARIANT.json.tmp"; then
+      mv "$OUT/bench_r4_$VARIANT.json.tmp" "$OUT/bench_r4_$VARIANT.json"
+      tail -1 "$OUT/bench_r4_$VARIANT.json"
+    else
+      rm -f "$OUT/bench_r4_$VARIANT.json.tmp"
+    fi
+  done
   cd experiments
   ./commit_stage.sh "Probe: fused linear-attention gate bench (r4e)"
 fi

@@ -18,9 +18,17 @@ OUT="$PWD/../docs/measurements"
 mkdir -p "$LOG" "$OUT"
 
 # Wait for r4e (marker file, or its persisted deadline + 30 min slack).
+# Absolute cap: after a VM restart /tmp is wiped, so BOTH files can be
+# missing forever (ADVICE r4) — never wait more than WAIT_CAP from launch.
+WAIT_START=$(date +%s)
+WAIT_CAP=${WAIT_CAP:-21600}
 while [ ! -f "$LOG/DONE_r4e" ]; do
   if [ -f /tmp/r4e_deadline ] && [ "$(date +%s)" -gt $(( $(cat /tmp/r4e_deadline) + 1800 )) ]; then
     echo "r4e deadline long past without DONE marker; proceeding"
+    break
+  fi
+  if [ "$(date +%s)" -gt $(( WAIT_START + WAIT_CAP )) ]; then
+    echo "waited ${WAIT_CAP}s without any r4e marker; proceeding"
     break
   fi
   sleep 120
@@ -71,7 +79,9 @@ while :; do
   kill "$CPID" 2>/dev/null
   ./commit_stage.sh "celeba-64 training checkpoints (r4f, rc=$rc)" checkpoints/celeba-64_lin_*.npz
   NEW=$(latest_ck)
-  if [ "${NEW:-0}" = "${CUR:-0}" ] && [ "$rc" -ne 0 ]; then
+  # Break on no progress regardless of rc (ADVICE r4): an rc=0 run that
+  # writes no checkpoint otherwise respawns in a tight loop against the TPU.
+  if [ "${NEW:-0}" = "${CUR:-0}" ]; then
     echo "training made no progress (rc=$rc); stopping"
     tail -5 "$LOG/celeba_train.log"
     break
@@ -113,7 +123,9 @@ if [ "$( latest_ck )" -ge 2999 ] 2>/dev/null; then
     ./commit_stage.sh "celeba-128 training checkpoints (r4f, rc=$rc)" \
       checkpoints/celeba-128_lin_*.npz
     NEW=$(latest_128)
-    if [ "${NEW:-0}" = "${CUR:-0}" ] && [ "$rc" -ne 0 ]; then
+    # No-progress break applies regardless of rc (ADVICE r4), with the OOM
+    # geometry fallback still taken first when applicable.
+    if [ "${NEW:-0}" = "${CUR:-0}" ]; then
       if [ "$GEOM" = "--batch_size 256 --nsteps 256" ] \
          && grep -qi "resource_exhausted\|out of memory\|oom" "$LOG/celeba128_train.log"; then
         echo "batch 256 OOM at 128^2; retrying at batch 128 x 512 steps"

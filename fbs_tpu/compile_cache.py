@@ -77,7 +77,17 @@ def enable(cache_dir: str | None = None, min_compile_secs: float = 1.0) -> str:
             and not os.environ.get("JAX_PLATFORMS")):
         cpu = jax.default_backend() == "cpu"
     if cpu:
-        path = os.path.join(path, f"cpu-{_host_signature()}")
+        # No persistent cache on CPU.  This XLA version's cpu_aot_loader
+        # compares its own compile-side tuning flags (+prefer-no-scatter/
+        # +prefer-no-gather) against the host's cpuinfo flags and logs a
+        # spurious machine-feature-mismatch ERROR for every entry it loads —
+        # even entries compiled seconds earlier on the same host (verified
+        # empirically).  Host-signature scoping therefore cannot silence it.
+        # CPU compiles here take seconds, so the cache buys nothing worth a
+        # wall of alarming errors in every tabulator/test run; the cache
+        # stays on for TPU, where the remote compile helper costs minutes.
+        jax.config.update("jax_enable_compilation_cache", False)
+        return ""
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", min_compile_secs)
