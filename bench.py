@@ -235,7 +235,13 @@ def main():
 
     import sys
     fused_resblock = "--fused_resblock" in sys.argv
-    fused_linear_attn = "--fused_linear_attn" in sys.argv
+    # The whole-gate Pallas linear attention is the config of record on TPU
+    # since the r5 A/B probe: 28,508 vs 26,512 particle*step/s (+7.5%), see
+    # docs/measurements/bench_r5_{plain,fusedattn}.json and roofline.md §4.
+    if "--no_fused_linear_attn" in sys.argv:
+        fused_linear_attn = False
+    else:
+        fused_linear_attn = "--fused_linear_attn" in sys.argv or on_tpu
     elapsed, flops = time_sweep(nparticles, nsteps, dim, image_shape, compute_dtype,
                                 nreps, fused_resblock=fused_resblock,
                                 fused_linear_attn=fused_linear_attn)

@@ -516,6 +516,23 @@ class UNet(nn.Module):
     fused_resblock: bool = False  # whole-block Pallas kernel (sampling only)
     fused_linear_attn: bool = False  # whole-gate Pallas kernel (sampling only)
     compute_dtype: Any = jnp.float32
+    # Tensor parallelism: channel-shard every block's activations over this
+    # mesh axis (params sharded to match by fbs_tpu.parallel.tensor).  GSPMD
+    # then places the cross-channel contraction all-reduces over ICI.
+    tp_mesh: Any = None
+    tp_axis: str = "t"
+
+    def _tp(self, h):
+        """Pin a feature map's channel axis to the tensor-parallel sharding."""
+        if self.tp_mesh is None:
+            return h
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if h.shape[-1] % self.tp_mesh.shape[self.tp_axis] == 0:
+            spec = P(*([None] * (h.ndim - 1)), self.tp_axis)
+        else:
+            spec = P()
+        return jax.lax.with_sharding_constraint(h, NamedSharding(self.tp_mesh, spec))
 
     @nn.compact
     def __call__(self, x, time):
@@ -527,7 +544,8 @@ class UNet(nn.Module):
 
         init_dim = self.dim if self.init_dim is None else self.init_dim
 
-        h = nn.Conv(init_dim, kernel_size=(7, 7), padding=3, dtype=dtype, name="stem")(x)
+        h = self._tp(nn.Conv(init_dim, kernel_size=(7, 7), padding=3, dtype=dtype,
+                             name="stem")(x))
         hs = [h]
 
         # Time conditioning MLP.
@@ -542,32 +560,32 @@ class UNet(nn.Module):
         nres = len(self.dim_mults)
         for ind in range(nres):
             dim_in = h.shape[-1]
-            h = ResBlock(dim=dim_in, groups=self.resnet_block_groups, dtype=dtype,
+            h = self._tp(ResBlock(dim=dim_in, groups=self.resnet_block_groups, dtype=dtype,
                          fused_norms=self.fused_norms, ws_frozen=self.ws_frozen,
-                         fused_resblock=self.fused_resblock)(h, t_emb)
+                         fused_resblock=self.fused_resblock)(h, t_emb))
             hs.append(h)
-            h = ResBlock(dim=dim_in, groups=self.resnet_block_groups, dtype=dtype,
+            h = self._tp(ResBlock(dim=dim_in, groups=self.resnet_block_groups, dtype=dtype,
                          fused_norms=self.fused_norms, ws_frozen=self.ws_frozen,
-                         fused_resblock=self.fused_resblock)(h, t_emb)
-            h = AttnGate(linear=True, dtype=dtype, name=f"down_{ind}_attn",
-                         fused_linear=self.fused_linear_attn)(h)
+                         fused_resblock=self.fused_resblock)(h, t_emb))
+            h = self._tp(AttnGate(linear=True, dtype=dtype, name=f"down_{ind}_attn",
+                         fused_linear=self.fused_linear_attn)(h))
             hs.append(h)
             if ind < nres - 1:
-                h = Downsample(dim=self.dim * self.dim_mults[ind], dtype=dtype,
-                               name=f"down_{ind}_ds")(h)
+                h = self._tp(Downsample(dim=self.dim * self.dim_mults[ind], dtype=dtype,
+                               name=f"down_{ind}_ds")(h))
 
         mid_dim = self.dim * self.dim_mults[-1]
-        h = nn.Conv(mid_dim, kernel_size=(3, 3), padding=1, dtype=dtype,
-                    name=f"down_{nres - 1}_proj")(h)
-        h = ResBlock(dim=mid_dim, groups=self.resnet_block_groups, dtype=dtype,
+        h = self._tp(nn.Conv(mid_dim, kernel_size=(3, 3), padding=1, dtype=dtype,
+                    name=f"down_{nres - 1}_proj")(h))
+        h = self._tp(ResBlock(dim=mid_dim, groups=self.resnet_block_groups, dtype=dtype,
                          fused_norms=self.fused_norms, ws_frozen=self.ws_frozen,
                          fused_resblock=self.fused_resblock,
-                     name="mid_res0")(h, t_emb)
-        h = AttnGate(linear=False, dtype=dtype, name="mid_attn")(h)
-        h = ResBlock(dim=mid_dim, groups=self.resnet_block_groups, dtype=dtype,
+                     name="mid_res0")(h, t_emb))
+        h = self._tp(AttnGate(linear=False, dtype=dtype, name="mid_attn")(h))
+        h = self._tp(ResBlock(dim=mid_dim, groups=self.resnet_block_groups, dtype=dtype,
                          fused_norms=self.fused_norms, ws_frozen=self.ws_frozen,
                          fused_resblock=self.fused_resblock,
-                     name="mid_res1")(h, t_emb)
+                     name="mid_res1")(h, t_emb))
 
         for ind in reversed(range(nres)):
             dim_in = self.dim * self.dim_mults[ind]
@@ -575,25 +593,26 @@ class UNet(nn.Module):
 
             # Skip connections feed the blocks as separate parts — the concat
             # buffer is never materialised (WSConv splits the kernel).
-            h = ResBlock(dim=dim_in, groups=self.resnet_block_groups, dtype=dtype,
+            h = self._tp(ResBlock(dim=dim_in, groups=self.resnet_block_groups, dtype=dtype,
                          fused_norms=self.fused_norms, ws_frozen=self.ws_frozen,
                          fused_resblock=self.fused_resblock,
-                         name=f"up_{ind}_res0")(h, t_emb, skip=hs.pop())
-            h = ResBlock(dim=dim_in, groups=self.resnet_block_groups, dtype=dtype,
+                         name=f"up_{ind}_res0")(h, t_emb, skip=hs.pop()))
+            h = self._tp(ResBlock(dim=dim_in, groups=self.resnet_block_groups, dtype=dtype,
                          fused_norms=self.fused_norms, ws_frozen=self.ws_frozen,
                          fused_resblock=self.fused_resblock,
-                         name=f"up_{ind}_res1")(h, t_emb, skip=hs.pop())
-            h = AttnGate(linear=True, dtype=dtype, name=f"up_{ind}_attn",
-                         fused_linear=self.fused_linear_attn)(h)
+                         name=f"up_{ind}_res1")(h, t_emb, skip=hs.pop()))
+            h = self._tp(AttnGate(linear=True, dtype=dtype, name=f"up_{ind}_attn",
+                         fused_linear=self.fused_linear_attn)(h))
             if ind > 0:
-                h = Upsample(dim=dim_out, method=self.upsampling, dtype=dtype,
-                             name=f"up_{ind}_us")(h)
+                h = self._tp(Upsample(dim=dim_out, method=self.upsampling, dtype=dtype,
+                             name=f"up_{ind}_us")(h))
 
-        h = nn.Conv(init_dim, kernel_size=(3, 3), padding=1, dtype=dtype, name="head_proj")(h)
-        out = ResBlock(dim=self.dim, groups=self.resnet_block_groups, dtype=dtype,
+        h = self._tp(nn.Conv(init_dim, kernel_size=(3, 3), padding=1, dtype=dtype,
+                             name="head_proj")(h))
+        out = self._tp(ResBlock(dim=self.dim, groups=self.resnet_block_groups, dtype=dtype,
                        fused_norms=self.fused_norms, ws_frozen=self.ws_frozen,
                          fused_resblock=self.fused_resblock,
-                       name="final_res")(h, t_emb, skip=hs.pop())
+                       name="final_res")(h, t_emb, skip=hs.pop()))
 
         out_dim = C if self.out_dim is None else self.out_dim
         out = nn.Conv(out_dim, kernel_size=(1, 1), dtype=dtype, name="head")(out)

@@ -5,3 +5,8 @@ from fbs_tpu.parallel.sharded import (
     data_parallel_loss,
 )
 from fbs_tpu.parallel.resampling import make_ring_take, onehot_gather, ring_take
+from fbs_tpu.parallel.tensor import (
+    tp_shardings,
+    shard_params_tp,
+    tensor_parallel_score,
+)
