@@ -194,6 +194,59 @@ while :; do
   fi
 done
 
+stage "h2: re-measure the SB Gibbs-vs-filter gap from the deepest model"
+SBDEPTH=$(latest_sb)
+if [ -n "$SBDEPTH" ] && [ "$SBDEPTH" -ge 2 ] && ! past_deadline \
+   && [ "$(seconds_left)" -gt 3600 ]; then
+  for Y0 in 10 11; do
+    for M in gibbs filter; do
+      OUTF="sb_imgs/results/mnist-4-lin-100-sb${SBDEPTH}-${Y0}-${M}-random.npy"
+      [ -f "$OUTF" ] && continue
+      past_deadline && break 2
+      stage "SB supr re-measure: depth $SBDEPTH y0 $Y0 $M"
+      timeout "$(budget 2700)" python sb_imgs/supr.py --rate 4 --sde lin \
+        --sb_step "$SBDEPTH" --y0_id "$Y0" --method "$M" --nparticles 100 \
+        --nsamples 20 --test_nsteps 64 --bf16 \
+        >> "$LOG/sb_supr.log" 2>&1 \
+        || { echo "sb supr rc=$? (y0 $Y0 $M)"; tail -3 "$LOG/sb_supr.log"; }
+    done
+  done
+  python - <<EOF >> sb_imgs/results/SB_SUPR_NUMBERS.md || true
+import os
+import numpy as np
+depth = "$SBDEPTH"
+rows = []
+for y0 in (10, 11):
+    # PSNR against the committed true image (same y0 enumeration as r4).
+    import imageio.v2 as iio
+    true = iio.imread(f"sb_imgs/results/mnist-4-lin-100-{y0}-true.png") / 255.0
+    if true.ndim == 2:
+        true = true[..., None]
+    for init in ("random", "blank", "interp"):
+        cells = {}
+        for m in ("gibbs", "filter"):
+            f = f"sb_imgs/results/mnist-4-lin-100-sb{depth}-{y0}-{m}-{init}.npy"
+            if not os.path.exists(f):
+                continue
+            s = np.clip(np.load(f), 0, 1)
+            mse = ((s - true[None]) ** 2).reshape(s.shape[0], -1).mean(axis=1)
+            psnr = -10 * np.log10(mse)
+            cells[m] = (psnr.mean(), psnr.std())
+        if cells:
+            rows.append((y0, init, cells))
+if rows:
+    print(f"\n## Re-measured at IPF depth {depth} (r5)\n")
+    print("| y0 | init | Gibbs PSNR | filter PSNR |")
+    print("|----|------|-----------|-------------|")
+    for y0, init, cells in rows:
+        g = cells.get("gibbs"); f_ = cells.get("filter")
+        gs = f"{g[0]:.2f} ± {g[1]:.2f}" if g else "—"
+        fs = f"{f_[0]:.2f} ± {f_[1]:.2f}" if f_ else "—"
+        print(f"| {y0} | {init} | {gs} | {fs} |")
+EOF
+  ./commit_stage.sh "SB supr Gibbs-vs-filter gap re-measured at depth $SBDEPTH (r5)"
+fi
+
 stage "i: CelebA-64 training with the remaining chip time"
 NOPROG=0
 while :; do

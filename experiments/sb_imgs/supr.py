@@ -101,7 +101,11 @@ def main():
     for _ in range(args.y0_id):
         data_key, subkey = jax.random.split(data_key)
     test_img, test_y0, mask = dataset.sampler(subkey)
-    head = f"./sb_imgs/results/mnist-{args.rate}-{args.sde}-{args.nparticles}-{args.y0_id}"
+    # Artifacts from deeper IPF models carry the depth tag so they never
+    # overwrite the committed depth-0 stacks (round-4 naming kept for those).
+    depth_tag = f"-sb{args.sb_step}" if args.sb_step > 0 else ""
+    head = (f"./sb_imgs/results/mnist-{args.rate}-{args.sde}-"
+            f"{args.nparticles}{depth_tag}-{args.y0_id}")
     save_image(head + "-true.png", test_img, nchannels)
     save_image(head + "-corrupt-lr.png",
                jnp.reshape(test_y0, (low_res, low_res, nchannels)), nchannels)
