@@ -105,14 +105,6 @@ unit 5400 results_supr mnist-4-lin-10 twisted 100 \
 stage "b: CelebA-64 rows, 30 y0s (no-op if r5 finished)"
 celeba_rows 30 5400 3600
 
-stage "c: MNIST N=100 filter rows (both tasks)"
-unit 5400 results_inpainting mnist-15-lin-100 filter 100 \
-  "Table 2 N=100 filter rows (r5)" \
-  imgs/inpainting.py $MCOMMON $M100 --rect_size=15 --method=filter
-unit 5400 results_supr mnist-4-lin-100 filter 100 \
-  "Table 3 N=100 filter rows (r5)" \
-  imgs/supr.py $MCOMMON $M100 --rate=4 --method=filter
-
 stage "d: SB-IPF deepening, up to 3 iterations this pass"
 latest_sb() {
   ls checkpoints/sb_mnist_lin_*.npz 2>/dev/null | grep -v _bwd \
@@ -156,43 +148,6 @@ if [ ! -f toy/results/COMPACT_twisted_100.done ] && ! past_deadline \
   touch toy/results/COMPACT_twisted_100.done
   ./commit_stage.sh "Toy Table 1: twisted N=100 cell (100 MC reps)"
 fi
-
-stage "f: MNIST N=100 twisted + pMCMC rows"
-unit 5400 results_inpainting mnist-15-lin-100 twisted 100 \
-  "Table 2 N=100 twisted rows (r5)" \
-  imgs/inpainting_twisted.py $MCOMMON $T100 --rect_size=15
-unit 5400 results_supr mnist-4-lin-100 twisted 100 \
-  "Table 3 N=100 twisted rows (r5)" \
-  imgs/supr_twisted.py $MCOMMON $T100 --rate=4
-unit 5400 results_inpainting mnist-15-lin-100 pmcmc-0.005 100 \
-  "Table 2 N=100 pMCMC rows (r5)" \
-  imgs/inpainting.py $MCOMMON $P100 --rect_size=15 --method=pmcmc-0.005
-unit 5400 results_supr mnist-4-lin-100 pmcmc-0.005 100 \
-  "Table 3 N=100 pMCMC rows (r5)" \
-  imgs/supr.py $MCOMMON $P100 --rate=4 --method=pmcmc-0.005
-
-stage "g: CelebA-64 rows 30 -> 100 y0s"
-celeba_rows 100 7200 5400
-
-stage "h: SB-IPF second pass with any remaining room"
-while :; do
-  LEFT=$(seconds_left)
-  [ "$LEFT" -lt 4500 ] && break
-  CUR=$(latest_sb); [ -z "$CUR" ] && break
-  NEXT=$((CUR + 1)); [ "$NEXT" -gt 10 ] && break
-  stage "SB-IPF iteration $NEXT (warm start from $CUR)"
-  timeout "$(budget 2700)" \
-    python sb_imgs/train.py --dataset mnist --sde lin --T 0.5 \
-    --batch_size 64 --nsteps 32 --nepochs 2 --nsbs $((NEXT + 1)) \
-    --start_sb "$NEXT" --schedule cos --grad_clip --vmap_loss --bf16 \
-    > "$LOG/sb_train_$NEXT.log" 2>&1
-  if [ -f "checkpoints/sb_mnist_lin_${NEXT}.npz" ]; then
-    ./commit_stage.sh "SB-IPF iteration $NEXT (r5)" \
-      "checkpoints/sb_mnist_lin_${NEXT}.npz" "checkpoints/sb_mnist_lin_${NEXT}_bwd.npz"
-  else
-    stage "iteration $NEXT produced no checkpoint; stopping"; break
-  fi
-done
 
 stage "h2: re-measure the SB Gibbs-vs-filter gap from the deepest model"
 SBDEPTH=$(latest_sb)
@@ -246,6 +201,51 @@ if rows:
 EOF
   ./commit_stage.sh "SB supr Gibbs-vs-filter gap re-measured at depth $SBDEPTH (r5)"
 fi
+
+stage "c: MNIST N=100 filter rows (both tasks)"
+unit 5400 results_inpainting mnist-15-lin-100 filter 100 \
+  "Table 2 N=100 filter rows (r5)" \
+  imgs/inpainting.py $MCOMMON $M100 --rect_size=15 --method=filter
+unit 5400 results_supr mnist-4-lin-100 filter 100 \
+  "Table 3 N=100 filter rows (r5)" \
+  imgs/supr.py $MCOMMON $M100 --rate=4 --method=filter
+
+stage "f: MNIST N=100 twisted + pMCMC rows"
+unit 5400 results_inpainting mnist-15-lin-100 twisted 100 \
+  "Table 2 N=100 twisted rows (r5)" \
+  imgs/inpainting_twisted.py $MCOMMON $T100 --rect_size=15
+unit 5400 results_supr mnist-4-lin-100 twisted 100 \
+  "Table 3 N=100 twisted rows (r5)" \
+  imgs/supr_twisted.py $MCOMMON $T100 --rate=4
+unit 5400 results_inpainting mnist-15-lin-100 pmcmc-0.005 100 \
+  "Table 2 N=100 pMCMC rows (r5)" \
+  imgs/inpainting.py $MCOMMON $P100 --rect_size=15 --method=pmcmc-0.005
+unit 5400 results_supr mnist-4-lin-100 pmcmc-0.005 100 \
+  "Table 3 N=100 pMCMC rows (r5)" \
+  imgs/supr.py $MCOMMON $P100 --rate=4 --method=pmcmc-0.005
+
+stage "g: CelebA-64 rows 30 -> 100 y0s"
+celeba_rows 100 7200 5400
+
+stage "h: SB-IPF second pass with any remaining room"
+while :; do
+  LEFT=$(seconds_left)
+  [ "$LEFT" -lt 4500 ] && break
+  CUR=$(latest_sb); [ -z "$CUR" ] && break
+  NEXT=$((CUR + 1)); [ "$NEXT" -gt 10 ] && break
+  stage "SB-IPF iteration $NEXT (warm start from $CUR)"
+  timeout "$(budget 2700)" \
+    python sb_imgs/train.py --dataset mnist --sde lin --T 0.5 \
+    --batch_size 64 --nsteps 32 --nepochs 2 --nsbs $((NEXT + 1)) \
+    --start_sb "$NEXT" --schedule cos --grad_clip --vmap_loss --bf16 \
+    > "$LOG/sb_train_$NEXT.log" 2>&1
+  if [ -f "checkpoints/sb_mnist_lin_${NEXT}.npz" ]; then
+    ./commit_stage.sh "SB-IPF iteration $NEXT (r5)" \
+      "checkpoints/sb_mnist_lin_${NEXT}.npz" "checkpoints/sb_mnist_lin_${NEXT}_bwd.npz"
+  else
+    stage "iteration $NEXT produced no checkpoint; stopping"; break
+  fi
+done
 
 stage "i: CelebA-64 training with the remaining chip time"
 NOPROG=0
