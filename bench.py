@@ -24,7 +24,8 @@ REFERENCE_PARTICLE_STEPS_PER_SEC = 12_500.0
 
 def build_sweep(nparticles: int, nsteps: int, dim: int, image_shape, compute_dtype,
                 task: str = "inpaint-15", xs=None, microbatch: int = 1,
-                fused_resblock: bool = False, fused_linear_attn: bool = False):
+                fused_resblock: bool = False, fused_linear_attn: bool = False,
+                take_fn=None):
     """Build a jitted Gibbs sweep closure on synthetic (or provided) images."""
     from fbs_tpu.data import ImageRestore
     from fbs_tpu.nn import UNet, make_st_nn
@@ -92,7 +93,7 @@ def build_sweep(nparticles: int, nsteps: int, dim: int, image_shape, compute_dty
                             ts, fwd_sampler, sde, unpack_path, nparticles,
                             transition_sampler, transition_logpdf, likelihood_logpdf,
                             marg_y=False, explicit_backward=True, explicit_final=False,
-                            fused_kernel=fused_kernel)
+                            fused_kernel=fused_kernel, take_fn=take_fn)
 
     x0 = jnp.zeros((*dataset.unobs_shape,))
     us_star = jnp.zeros((nsteps + 1, *dataset.unobs_shape))
@@ -178,8 +179,18 @@ def time_sweep(nparticles, nsteps, dim, image_shape, compute_dtype, nreps,
     return elapsed, _sweep_flops(sweep, nsteps)
 
 
+def _onehot_take(xs, indices):
+    """Resampling take as a one-hot matmul: under a chains vmap the default
+    ``xs[indices]`` becomes a batched gather (slow on TPU); the one-hot
+    contraction batches into one MXU matmul.  Exact copies: each one-hot row
+    has a single 1, so every output element is ``1 * x`` plus exact zeros."""
+    n = xs.shape[0]
+    oh = jax.nn.one_hot(indices, n, dtype=xs.dtype)
+    return (oh @ xs.reshape(n, -1)).reshape(xs.shape)
+
+
 def time_chains(nchains, nparticles, nsteps, dim, image_shape, compute_dtype, nreps,
-                task="inpaint-15", fused_linear_attn=False):
+                task="inpaint-15", fused_linear_attn=False, take_fn=None):
     """Aggregate per-chip throughput: ``nchains`` vmapped Gibbs chains.
 
     The production workload is 100 y0s x 100 sweeps per chip; the single-chain
@@ -189,7 +200,7 @@ def time_chains(nchains, nparticles, nsteps, dim, image_shape, compute_dtype, nr
     """
     sweep, (x0, us_star, bs_star) = build_sweep(
         nparticles, nsteps, dim, image_shape, compute_dtype, task=task,
-        fused_linear_attn=fused_linear_attn)
+        fused_linear_attn=fused_linear_attn, take_fn=take_fn)
     vsweep = jax.jit(jax.vmap(sweep))
     x0s = jnp.broadcast_to(x0, (nchains, *x0.shape))
     uss = jnp.broadcast_to(us_star, (nchains, *us_star.shape))
@@ -277,10 +288,14 @@ def main():
     particle_steps_per_sec = single_psps
     if not os.environ.get("BENCH_SKIP_CHAINS"):
         nchains = 4 if on_tpu else 2
+        if "--chains" in sys.argv:
+            nchains = int(sys.argv[sys.argv.index("--chains") + 1])
+        chains_take = _onehot_take if "--chains_onehot_take" in sys.argv else None
         try:
             el_c, fl_c = time_chains(nchains, nparticles, nsteps, dim, image_shape,
                                      compute_dtype, max(1, nreps - 1),
-                                     fused_linear_attn=fused_linear_attn)
+                                     fused_linear_attn=fused_linear_attn,
+                                     take_fn=chains_take)
             agg_psps = nchains * nparticles * nsteps / el_c
             chains_detail = {
                 "nchains": nchains,
