@@ -119,7 +119,7 @@ SB_DONE=0
 while :; do
   LEFT=$(seconds_left)
   [ "$LEFT" -lt 4500 ] && { stage "only ${LEFT}s left; no more SB iterations"; break; }
-  [ "$SB_DONE" -ge 3 ] && { stage "3 SB iterations this pass; moving on"; break; }
+  [ "$SB_DONE" -ge 2 ] && { stage "2 SB iterations this pass; moving on"; break; }
   CUR=$(latest_sb)
   [ -z "$CUR" ] && { stage "no SB checkpoint to warm-start from"; break; }
   NEXT=$((CUR + 1))
@@ -143,8 +143,11 @@ while :; do
 done
 
 stage "e: toy Table 1 twisted N=100 (the last Table-1 hole)"
+# Threshold lowered to 3000s: gp_production writes per-rep artifacts, so a
+# timeout leaves a partial-but-real cell (rep count recorded by the tabulator)
+# rather than the empty cell of rounds 3-4.
 if [ ! -f toy/results/COMPACT_twisted_100.done ] && ! past_deadline \
-   && [ "$(seconds_left)" -gt 4500 ]; then
+   && [ "$(seconds_left)" -gt 3000 ]; then
   timeout "$(budget 5400)" python toy/gp_production.py --d 100 --nparticles 100 \
     --nsamples 10000 --nmc 100 --sde const --methods twisted \
     --skip_existing > "$LOG/toy_twisted100.log" 2>&1 \
