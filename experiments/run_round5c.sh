@@ -118,14 +118,14 @@ latest_sb() {
 SB_DONE=0
 while :; do
   LEFT=$(seconds_left)
-  [ "$LEFT" -lt 4500 ] && { stage "only ${LEFT}s left; no more SB iterations"; break; }
+  [ "$LEFT" -lt 2400 ] && { stage "only ${LEFT}s left; no more SB iterations"; break; }
   [ "$SB_DONE" -ge 2 ] && { stage "2 SB iterations this pass; moving on"; break; }
   CUR=$(latest_sb)
   [ -z "$CUR" ] && { stage "no SB checkpoint to warm-start from"; break; }
   NEXT=$((CUR + 1))
   [ "$NEXT" -gt 10 ] && { stage "SB depth 10 reached"; break; }
   stage "SB-IPF iteration $NEXT (warm start from $CUR)"
-  timeout "$(budget 2700)" \
+  timeout "$(budget 1800)" \
     python sb_imgs/train.py --dataset mnist --sde lin --T 0.5 \
     --batch_size 64 --nsteps 32 --nepochs 2 --nsbs $((NEXT + 1)) \
     --start_sb "$NEXT" --schedule cos --grad_clip --vmap_loss --bf16 \
@@ -147,7 +147,7 @@ stage "e: toy Table 1 twisted N=100 (the last Table-1 hole)"
 # timeout leaves a partial-but-real cell (rep count recorded by the tabulator)
 # rather than the empty cell of rounds 3-4.
 if [ ! -f toy/results/COMPACT_twisted_100.done ] && ! past_deadline \
-   && [ "$(seconds_left)" -gt 3000 ]; then
+   && [ "$(seconds_left)" -gt 1800 ]; then
   timeout "$(budget 5400)" python toy/gp_production.py --d 100 --nparticles 100 \
     --nsamples 10000 --nmc 100 --sde const --methods twisted \
     --skip_existing > "$LOG/toy_twisted100.log" 2>&1 \
