@@ -61,7 +61,7 @@ CCOMMON="--dataset=celeba-64 --sde=lin --test_nsteps=1000 --test_epoch=$EP \
   --test_ema --test_seed=996 --bf16 --save_png_every=25"
 C10="--nparticles=10 --nsamples=5 --y0s_per_dispatch=4 --sweeps_per_dispatch=1"
 C2="--nparticles=2 --nsamples=5 --y0s_per_dispatch=8 --sweeps_per_dispatch=1"
-CB="--nparticles=10 --nsamples=5 --samples_per_dispatch=5"
+CB="--nparticles=10 --nsamples=5 --samples_per_dispatch=1"
 
 celeba_rows() {  # celeba_rows <ny0s> <gibbs_cap> <other_cap>
   local NY=$1 GCAP=$2 OCAP=$3
