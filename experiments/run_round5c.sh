@@ -97,6 +97,36 @@ celeba_rows() {  # celeba_rows <ny0s> <gibbs_cap> <other_cap>
     imgs/supr.py $CCOMMON $C2 --ny0s=$NY --rate=2 --method=gibbs-eb-ef
 }
 
+stage "a0: CelebA-64 twisted rows, 1-sample dispatches (the 5-sample dispatch crashed the worker)"
+unit 3000 results_inpainting celeba-64-32-lin-10 twisted 30 \
+  "CelebA-64 Table 2 twisted rows (30 y0s, epoch $EP)" \
+  imgs/inpainting_twisted.py $CCOMMON $CB --ny0s=30 --rect_size=32
+unit 3000 results_supr celeba-64-2-lin-10 twisted 30 \
+  "CelebA-64 Table 3 twisted rows (30 y0s, epoch $EP)" \
+  imgs/supr_twisted.py $CCOMMON $CB --ny0s=30 --rate=2
+
+stage "d-first: one SB-IPF iteration before the MNIST leftovers"
+latest_sb() {
+  ls checkpoints/sb_mnist_lin_*.npz 2>/dev/null | grep -v _bwd \
+    | sed 's/.*_\([0-9]*\)\.npz/\1/' | sort -n | tail -1
+}
+CUR=$(latest_sb)
+if [ -n "$CUR" ] && [ "$(seconds_left)" -gt 2400 ] && ! past_deadline; then
+  NEXT=$((CUR + 1))
+  if [ "$NEXT" -le 10 ]; then
+    stage "SB-IPF iteration $NEXT (warm start from $CUR)"
+    timeout "$(budget 1800)" \
+      python sb_imgs/train.py --dataset mnist --sde lin --T 0.5 \
+      --batch_size 64 --nsteps 32 --nepochs 2 --nsbs $((NEXT + 1)) \
+      --start_sb "$NEXT" --schedule cos --grad_clip --vmap_loss --bf16 \
+      > "$LOG/sb_train_$NEXT.log" 2>&1
+    if [ -f "checkpoints/sb_mnist_lin_${NEXT}.npz" ]; then
+      ./commit_stage.sh "SB-IPF iteration $NEXT (r5)" \
+        "checkpoints/sb_mnist_lin_${NEXT}.npz" "checkpoints/sb_mnist_lin_${NEXT}_bwd.npz"
+    fi
+  fi
+fi
+
 stage "a: leftover repairs (no-ops if r5 finished them)"
 unit 5400 results_supr mnist-4-lin-10 twisted 100 \
   "Table 3 N=10 twisted rows: supr-4, 100 y0s (r5)" \
